@@ -1,0 +1,66 @@
+"""Caption scoring — NLTK sentence METEOR + smoothed sentence BLEU,
+matching the reference's protocol exactly (`AlexCap/eval/
+eval_resnet.py:108-123`): per (candidate, references) pair compute
+`meteor_score(refs_tokenized, cand_tokenized)` and
+`sentence_bleu(refs, cand, smoothing_function=method4)`, then average
+over records. Empty candidates score 0 (NLTK raises otherwise).
+
+Runs host-side in a thread pool — scoring is pure-Python NLTK and would
+otherwise serialize against device decode (SURVEY §7 'host/device
+split of eval').
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Dict, List, Sequence
+
+
+def _score_pair(candidate: str, references: Sequence[str]):
+    from nltk.translate.bleu_score import SmoothingFunction, sentence_bleu
+    from nltk.translate.meteor_score import meteor_score
+
+    cand_tok = candidate.split()
+    refs_tok = [r.split() for r in references]
+    if not cand_tok or not any(refs_tok):
+        return 0.0, 0.0
+    meteor = meteor_score(refs_tok, cand_tok)
+    bleu = sentence_bleu(refs_tok, cand_tok,
+                         smoothing_function=SmoothingFunction().method4)
+    return float(meteor), float(bleu)
+
+
+def score_captions(records: Sequence[Dict], num_workers: int = 8) -> Dict:
+    """records: [{'candidate': str, 'references': [str, ...]}, ...] →
+    {'meteor': mean, 'bleu': mean}."""
+    if not records:
+        return {"meteor": 0.0, "bleu": 0.0}
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        scores = list(pool.map(
+            lambda r: _score_pair(r["candidate"], r["references"]), records))
+    n = len(scores)
+    return {"meteor": sum(s[0] for s in scores) / n,
+            "bleu": sum(s[1] for s in scores) / n}
+
+
+@dataclass
+class CaptioningEvaluator:
+    """Accumulates (prediction, references) records across eval batches —
+    the reference's `DenseCaptioningEvaluator.addResult` contract
+    (`eval_resnet.py:14-26`)."""
+
+    records: List[Dict] = field(default_factory=list)
+
+    def add_result(self, predictions: Sequence[str],
+                   references: Sequence[Sequence[str]],
+                   ids: Sequence = ()) -> None:
+        ids = list(ids) or [None] * len(predictions)
+        for pred, refs, rid in zip(predictions, references, ids):
+            if isinstance(refs, str):
+                refs = [refs]
+            self.records.append({"candidate": pred,
+                                 "references": list(refs), "id": rid})
+
+    def evaluate(self) -> Dict:
+        return score_captions(self.records)

@@ -1,0 +1,195 @@
+"""High-level captioning API: jitted forward/decode around the flax
+models, with the reference's model contract on top.
+
+`CaptioningModel` mirrors the reference's uniform model interface
+(`forward_train(data)->loss`, `forward_test(data)->captions[,alphas]`,
+`set_eval`, `use_beam`/`beam_size`, `llm.decode_sequence` — e.g.
+`AlexCap/LSTMModel.py:47-86`) so a user of the reference can switch
+with minimal edits. Internally everything is pure-functional:
+`make_forward_fn`/`make_greedy_fn`/`make_beam_fn` return jitted
+closures over (params, batch) used by the training driver, the eval
+harness and the benchmark alike.
+
+Transformer-family decoding threads a flax 'cache' collection (KV
+cache) through `lax.scan`; LSTM-family decoding carries (h, c). Both
+run as a single fused scan on device — no per-step host round trips
+(the reference decodes with Python loops, `TransformerModule.py:376-388`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imagecaptioning_tpu.models import decoding
+from imagecaptioning_tpu.models.captioners import (AttentionCaptioner,
+                                                   LSTMCaptioner,
+                                                   TransformerCaptioner,
+                                                   TrainOutput, ViTCaptioner)
+
+
+def _is_transformer_family(model) -> bool:
+    return isinstance(model, (TransformerCaptioner, ViTCaptioner))
+
+
+def init_cache(model, params, enc: jnp.ndarray, max_steps: int):
+    """Shape the decoder KV cache by tracing one full-length decode call."""
+    toks = jnp.zeros((enc.shape[0], max_steps), jnp.int32)
+    _, variables = model.apply(
+        {"params": params}, enc, toks, jnp.array(0, jnp.int32),
+        method=model.decode_step, mutable=["cache"])
+    return variables["cache"]
+
+
+def _lstm_carry_to_batch_major(state):
+    h, c = state
+    return (jnp.swapaxes(h, 0, 1), jnp.swapaxes(c, 0, 1))
+
+
+def _lstm_carry_from_batch_major(state):
+    h, c = state
+    return (jnp.swapaxes(h, 0, 1), jnp.swapaxes(c, 0, 1))
+
+
+def make_step_fn(model, params) -> Tuple[Callable, Callable]:
+    """Returns (init_carry(feats, max_steps), step_fn) for the decode
+    drivers. Every carry leaf is batch-major so beam gathers are uniform."""
+
+    if _is_transformer_family(model):
+        def init_carry(enc, max_steps):
+            return {"enc": enc, "cache": init_cache(model, params, enc,
+                                                    max_steps)}
+
+        def step(carry, toks, t):
+            (enc, logits, alphas), mut = model.apply(
+                {"params": params, "cache": carry["cache"]},
+                carry["enc"], toks, t,
+                method=model.decode_step, mutable=["cache"])
+            return {"enc": enc, "cache": mut["cache"]}, logits, alphas
+        return init_carry, step
+
+    if isinstance(model, AttentionCaptioner):
+        def init_carry(feats, max_steps):
+            feats2, state = model.apply({"params": params}, feats,
+                                        method=model.init_decode)
+            return {"feats": feats2, "state": state}
+
+        def step(carry, toks, t):
+            (feats, state), logits, alphas = model.apply(
+                {"params": params}, (carry["feats"], carry["state"]),
+                toks, t, method=model.decode_step)
+            return {"feats": feats, "state": state}, logits, alphas
+        return init_carry, step
+
+    # LSTM family: carry (h, c) stored batch-major.
+    def init_carry(feats, max_steps):
+        state = model.apply({"params": params}, feats,
+                            method=model.init_decode)
+        return {"state": _lstm_carry_to_batch_major(state)}
+
+    def step(carry, toks, t):
+        state = _lstm_carry_from_batch_major(carry["state"])
+        state, logits, alphas = model.apply(
+            {"params": params}, state, toks, t, method=model.decode_step)
+        return {"state": _lstm_carry_to_batch_major(state)}, logits, alphas
+    return init_carry, step
+
+
+def make_forward_fn(model) -> Callable:
+    """(variables, images, gt, rng, train) → (loss, TrainOutput), jittable."""
+
+    def forward(variables, images, gt, rng=None, train: bool = False):
+        rngs = {"dropout": rng} if (train and rng is not None) else None
+        out = model.apply(variables, images, gt, train=train, rngs=rngs)
+        loss = model.loss(out, gt)
+        return loss, out
+    return forward
+
+
+def _alpha_positions(model, feats) -> int:
+    if isinstance(model, AttentionCaptioner):
+        return feats.shape[1]
+    if _is_transformer_family(model):
+        return feats.shape[1]
+    return 1
+
+
+def make_greedy_fn(model, max_steps: int) -> Callable:
+    """(variables, images) → (tokens (B, L), alphas or None); fully jitted."""
+
+    @jax.jit
+    def run(variables, images):
+        params = variables["params"]
+        feats = model.apply(variables, images, method=model.encode)
+        init_carry, step = make_step_fn(model, params)
+        carry = init_carry(feats, max_steps)
+        start = model.vocab_size + 1
+        return decoding.greedy_decode(step, carry, images.shape[0], start,
+                                      max_steps, collect_alphas=True)
+    return run
+
+
+def make_beam_fn(model, max_steps: int, beam_size: int,
+                 use_logprobs: bool = False) -> Callable:
+    """(variables, images) → BeamResult; fully jitted fixed-shape beam."""
+
+    @jax.jit
+    def run(variables, images):
+        params = variables["params"]
+        feats = model.apply(variables, images, method=model.encode)
+        init_carry, step = make_step_fn(model, params)
+        feats_k = decoding.expand_for_beams(feats, beam_size)
+        carry = init_carry(feats_k, max_steps)
+        return decoding.beam_search(
+            step, carry, images.shape[0], beam_size,
+            start_token=model.vocab_size + 1,
+            end_token=model.vocab_size + 2,
+            max_steps=max_steps, use_logprobs=use_logprobs,
+            collect_alphas=True,
+            alpha_positions=_alpha_positions(model, feats))
+    return run
+
+
+class CaptioningModel:
+    """Reference-contract facade: stateful wrapper over the pure API."""
+
+    def __init__(self, model, variables, vocab, seq_length: int):
+        self.model = model
+        self.variables = variables
+        self.vocab = vocab
+        self.seq_length = seq_length
+        self.use_beam = False
+        self.beam_size = 3
+        self.eval_mode = False
+        self._fwd = jax.jit(functools.partial(make_forward_fn(model),
+                                              train=False))
+        self._greedy = make_greedy_fn(model, seq_length + 1)
+        self._beams = {}
+        # reference exposes decode via model.llm.decode_sequence
+        self.llm = type("LLMShim", (), {})()
+        self.llm.decode_sequence = self.decode_sequence
+
+    def set_eval(self, value: bool):
+        self.eval_mode = value
+
+    def decode_sequence(self, seq):
+        return self.vocab.decode_sequence(np.asarray(seq))
+
+    def forward_train(self, images, gt):
+        loss, _ = self._fwd(self.variables, images, gt)
+        return loss
+
+    def forward_test(self, images):
+        if self.use_beam:
+            if self.beam_size not in self._beams:
+                self._beams[self.beam_size] = make_beam_fn(
+                    self.model, self.seq_length + 1, self.beam_size)
+            res = self._beams[self.beam_size](self.variables, images)
+            best = res.tokens[:, 0]
+            return self.decode_sequence(best), res.alphas[:, 0]
+        toks, alphas = self._greedy(self.variables, images)
+        return self.decode_sequence(toks), alphas

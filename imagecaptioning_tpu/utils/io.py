@@ -1,0 +1,92 @@
+"""JSON artifact IO with the reference's log schema.
+
+The reference writes two JSON histories per run (`AlexCap/my_utils.py:
+10-18`, `train_LSTM.py:89-94,131-133`):
+- loss history: list of {"iter", "loss", "epoch time in ms"} dicts
+- results history: list of eval dicts, the last one carrying
+  "best_val_score" and "best_iter"
+We keep the same field names so downstream tooling (and the committed
+baselines) stay comparable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional
+
+
+def getopt(opt, key: str, default=None):
+    """Dict-or-attribute option lookup (reference my_utils.getopt)."""
+    if opt is None:
+        return default
+    if hasattr(opt, "get"):
+        v = opt.get(key, default)
+        return default if v is None else v
+    return getattr(opt, key, default)
+
+
+def write_json(path: str, data: Any) -> None:
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(data, f)
+    os.replace(tmp, path)
+
+
+def read_json(path: str) -> Any:
+    with open(path, "r") as f:
+        return json.load(f)
+
+
+class LossHistory:
+    """Accumulates per-iteration loss records and flushes them to the
+    loss_file in the reference schema."""
+
+    def __init__(self, path: str, resume: bool = False):
+        self.path = path
+        self.records: List[Dict] = []
+        if resume and os.path.exists(path):
+            self.records = read_json(path)
+
+    def append(self, it: int, loss: float, step_ms: float) -> None:
+        self.records.append({"iter": it, "loss": float(loss),
+                             "epoch time in ms": float(step_ms)})
+
+    def flush(self) -> None:
+        write_json(self.path, self.records)
+
+
+class ResultsHistory:
+    """Eval-results history with best-score tracking (reference keeps
+    best_val_score/best_iter in the last record, train_LSTM.py:131-133)."""
+
+    def __init__(self, path: str, resume: bool = False):
+        self.path = path
+        self.records: List[Dict] = []
+        self.best_score: Optional[float] = None
+        self.best_iter: int = 0
+        if resume and os.path.exists(path):
+            self.records = read_json(path)
+            if self.records:
+                last = self.records[-1]
+                self.best_score = last.get("best_val_score")
+                self.best_iter = last.get("best_iter", 0)
+
+    def append(self, it: int, results: Dict) -> bool:
+        """Returns True iff this eval is a new best."""
+        score = results.get("ap_results", {}).get("meteor", 0.0)
+        is_best = self.best_score is None or score > self.best_score
+        if is_best:
+            self.best_score = score
+            self.best_iter = it
+        rec = dict(results)
+        rec.update({"iter": it, "best_val_score": self.best_score,
+                    "best_iter": self.best_iter})
+        self.records.append(rec)
+        return is_best
+
+    def flush(self) -> None:
+        write_json(self.path, self.records)

@@ -1,0 +1,206 @@
+"""Bit-exact torch → flax parameter converters.
+
+The reference loads pretrained torchvision backbones (resnet101
+IMAGENET1K_V2, vgg16 IMAGENET1K_V1, vit_b_16 IMAGENET1K_V1) and a local
+VGGFace checkpoint (`AlexCap/LSTMModel.py:18-27`,
+`AlexCap/VitbModel.py:155-158`). This module converts their
+`state_dict`s (plain tensor dicts — loadable with torch on CPU, or from
+a numpy ``.npz`` re-export) into the flax param trees of
+`models.backbones.*` and `ops.rnn.LSTM`.
+
+Layout rules:
+  conv    torch (O, I, kh, kw)  → flax kernel (kh, kw, I, O)
+  linear  torch (O, I)          → flax kernel (I, O)
+  bn      weight/bias           → scale/bias; running stats → batch_stats
+  mha     in_proj (3D, D)       → per-head q/k/v kernels (D, h, d)
+
+All converters accept `numpy`-convertible values (torch tensors or
+ndarrays), so checkpoints can be shipped as `.npz` without torch.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Tuple
+
+import numpy as np
+
+from imagecaptioning_tpu.models.backbones.vgg import VGG16_STAGES
+
+
+def _np(v) -> np.ndarray:
+    if hasattr(v, "detach"):
+        v = v.detach().cpu().numpy()
+    return np.asarray(v)
+
+
+def convert_conv(sd: Mapping, prefix: str, use_bias: bool = False) -> Dict:
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0)}
+    if use_bias:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def convert_linear(sd: Mapping, prefix: str) -> Dict:
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def convert_bn(sd: Mapping, prefix: str) -> Tuple[Dict, Dict]:
+    params = {"scale": _np(sd[f"{prefix}.weight"]),
+              "bias": _np(sd[f"{prefix}.bias"])}
+    stats = {"mean": _np(sd[f"{prefix}.running_mean"]),
+             "var": _np(sd[f"{prefix}.running_var"])}
+    return params, stats
+
+
+def convert_embedding(sd: Mapping, prefix: str) -> Dict:
+    return {"embedding": _np(sd[f"{prefix}.weight"])}
+
+
+def convert_lstm(sd: Mapping, prefix: str, num_layers: int = 1) -> Dict:
+    """torch nn.LSTM state_dict slice → ops.rnn.LSTM params (identical
+    layout by design)."""
+    params = {}
+    for l in range(num_layers):
+        params[f"w_ih_l{l}"] = _np(sd[f"{prefix}.weight_ih_l{l}"])
+        params[f"w_hh_l{l}"] = _np(sd[f"{prefix}.weight_hh_l{l}"])
+        params[f"b_ih_l{l}"] = _np(sd[f"{prefix}.bias_ih_l{l}"])
+        params[f"b_hh_l{l}"] = _np(sd[f"{prefix}.bias_hh_l{l}"])
+    return params
+
+
+def convert_lstm_cell(sd: Mapping, prefix: str) -> Dict:
+    return {"w_ih": _np(sd[f"{prefix}.weight_ih"]),
+            "w_hh": _np(sd[f"{prefix}.weight_hh"]),
+            "b_ih": _np(sd[f"{prefix}.bias_ih"]),
+            "b_hh": _np(sd[f"{prefix}.bias_hh"])}
+
+
+# ---------------------------------------------------------------- ResNet
+
+_RESNET_STAGES = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+
+
+def convert_resnet(sd: Mapping, depth: int = 101) -> Dict:
+    """torchvision resnet{depth} state_dict → ResNetFeatures variables
+    {'params': ..., 'batch_stats': ...}. Classifier (fc.*) is ignored —
+    the reference drops it too."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    params["conv1"] = convert_conv(sd, "conv1")
+    params["bn1"], stats["bn1"] = convert_bn(sd, "bn1")
+
+    for stage, blocks in enumerate(_RESNET_STAGES[depth]):
+        for b in range(blocks):
+            t = f"layer{stage + 1}.{b}"
+            name = f"layer{stage + 1}_{b}"
+            bp: Dict = {}
+            bs: Dict = {}
+            for i in (1, 2, 3):
+                bp[f"conv{i}"] = convert_conv(sd, f"{t}.conv{i}")
+                bp[f"bn{i}"], bs[f"bn{i}"] = convert_bn(sd, f"{t}.bn{i}")
+            if f"{t}.downsample.0.weight" in sd:
+                bp["downsample_conv"] = convert_conv(sd, f"{t}.downsample.0")
+                bp["downsample_bn"], bs["downsample_bn"] = convert_bn(
+                    sd, f"{t}.downsample.1")
+            params[name] = bp
+            stats[name] = bs
+    return {"params": params, "batch_stats": stats}
+
+
+# ------------------------------------------------------------------ VGG
+
+def _vgg_conv_indices():
+    """torchvision vgg16.features module indices of the 13 convs."""
+    idx, out = 0, []
+    for stage in VGG16_STAGES:
+        for _ in stage:
+            out.append(idx)
+            idx += 2      # conv + relu
+        idx += 1          # maxpool
+    return out
+
+
+def convert_vgg_features(sd: Mapping, prefix: str = "features") -> Dict:
+    """torchvision vgg16.features (or the VGGFace checkpoint's equivalent
+    keys) → VGGFeatures params."""
+    params: Dict = {}
+    conv_idx = _vgg_conv_indices()
+    k = 0
+    for stage, chans in enumerate(VGG16_STAGES):
+        for i in range(len(chans)):
+            params[f"conv{stage + 1}_{i + 1}"] = convert_conv(
+                sd, f"{prefix}.{conv_idx[k]}", use_bias=True)
+            k += 1
+    return {"params": params}
+
+
+def convert_vgg_classifier(sd: Mapping, prefix: str = "classifier") -> Dict:
+    """vgg16.classifier[0]/[3] → VGGClassifierHead. torchvision flattens
+    CHW while we flatten HWC, so fc6's input dim is permuted to match."""
+    fc6 = convert_linear(sd, f"{prefix}.0")
+    w = fc6["kernel"]                       # (25088, 4096) CHW-flattened
+    w = w.reshape(512, 7, 7, -1).transpose(1, 2, 0, 3).reshape(25088, -1)
+    fc6["kernel"] = w
+    return {"params": {"fc6": fc6, "fc7": convert_linear(sd, f"{prefix}.3")}}
+
+
+# ------------------------------------------------------------------ ViT
+
+def convert_vit(sd: Mapping, num_layers: int = 12, num_heads: int = 12,
+                hidden: int = 768) -> Dict:
+    """torchvision vit_b_16 state_dict → ViTEncoder params."""
+    d = hidden // num_heads
+    params: Dict = {
+        "conv_proj": convert_conv(sd, "conv_proj", use_bias=True),
+        "class_token": _np(sd["class_token"]),
+        "pos_embedding": _np(sd["encoder.pos_embedding"]),
+        "ln": {"scale": _np(sd["encoder.ln.weight"]),
+               "bias": _np(sd["encoder.ln.bias"])},
+    }
+    for i in range(num_layers):
+        t = f"encoder.layers.encoder_layer_{i}"
+        in_w = _np(sd[f"{t}.self_attention.in_proj_weight"])   # (3D, D)
+        in_b = _np(sd[f"{t}.self_attention.in_proj_bias"])     # (3D,)
+        qw, kw, vw = np.split(in_w, 3, axis=0)
+        qb, kb, vb = np.split(in_b, 3, axis=0)
+
+        def head(w, b):
+            # torch (D_out, D_in) → flax (D_in, heads, head_dim)
+            return {"kernel": w.T.reshape(hidden, num_heads, d),
+                    "bias": b.reshape(num_heads, d)}
+
+        out_w = _np(sd[f"{t}.self_attention.out_proj.weight"])  # (D, D)
+        attn = {
+            "query": head(qw, qb),
+            "key": head(kw, kb),
+            "value": head(vw, vb),
+            "out": {"kernel": out_w.T.reshape(num_heads, d, hidden),
+                    "bias": _np(sd[f"{t}.self_attention.out_proj.bias"])},
+        }
+        params[f"encoder_layer_{i}"] = {
+            "ln_1": {"scale": _np(sd[f"{t}.ln_1.weight"]),
+                     "bias": _np(sd[f"{t}.ln_1.bias"])},
+            "self_attention": attn,
+            "ln_2": {"scale": _np(sd[f"{t}.ln_2.weight"]),
+                     "bias": _np(sd[f"{t}.ln_2.bias"])},
+            "mlp_0": convert_linear(sd, f"{t}.mlp.0"),
+            "mlp_3": convert_linear(sd, f"{t}.mlp.3"),
+        }
+    return {"params": params}
+
+
+def load_state_dict(path: str) -> Dict:
+    """Load a checkpoint as a flat name→ndarray dict. Supports torch .pth
+    (requires torch) and numpy .npz re-exports."""
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    import torch  # local import: torch is optional at runtime
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return {k: _np(v) for k, v in sd.items()}

@@ -1,0 +1,183 @@
+"""Backbone parity vs hand-built torch equivalents of the torchvision
+architectures (torchvision itself is not installed; these mini-modules
+replicate its exact op sequence, which also pins the converters)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+
+from imagecaptioning_tpu.models.backbones.resnet import Bottleneck, ResNetFeatures
+from imagecaptioning_tpu.models.backbones.vgg import VGGFeatures, VGGClassifierHead
+from imagecaptioning_tpu.models.backbones.vit import ViTBlock, ViTEncoder
+from imagecaptioning_tpu.utils import torch_port
+
+
+class TorchBottleneck(tnn.Module):
+    """torchvision.models.resnet.Bottleneck with expansion 4."""
+
+    def __init__(self, inplanes, planes, stride=1, downsample=False):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.relu = tnn.ReLU()
+        self.downsample = None
+        if downsample:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(inplanes, planes * 4, 1, stride, bias=False),
+                tnn.BatchNorm2d(planes * 4))
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        return self.relu(out + idt)
+
+
+def _randomize_bn_stats(mod):
+    for m in mod.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.uniform_(-0.5, 0.5)
+            m.running_var.uniform_(0.5, 1.5)
+
+
+def test_bottleneck_matches_torch():
+    torch.manual_seed(0)
+    tb = TorchBottleneck(8, 4, stride=2, downsample=True).eval()
+    _randomize_bn_stats(tb)
+    sd = {f"layer1.0.{k}": v for k, v in tb.state_dict().items()}
+    sd = {k.replace("downsample.0", "downsample.0").replace(
+        "downsample.1", "downsample.1"): v for k, v in sd.items()}
+
+    x = torch.randn(2, 8, 6, 6)
+    want = tb(x).detach().numpy()
+
+    conv = {"params": {}, "batch_stats": {}}
+    bp, bs = {}, {}
+    for i in (1, 2, 3):
+        bp[f"conv{i}"] = torch_port.convert_conv(sd, f"layer1.0.conv{i}")
+        bp[f"bn{i}"], bs[f"bn{i}"] = torch_port.convert_bn(sd, f"layer1.0.bn{i}")
+    bp["downsample_conv"] = torch_port.convert_conv(sd, "layer1.0.downsample.0")
+    bp["downsample_bn"], bs["downsample_bn"] = torch_port.convert_bn(
+        sd, "layer1.0.downsample.1")
+
+    blk = Bottleneck(planes=4, stride=2, downsample=True)
+    got = blk.apply({"params": bp, "batch_stats": bs},
+                    jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               rtol=1e-4, atol=1e-4)
+    del conv
+
+
+def test_resnet_trunk_shapes():
+    model = ResNetFeatures(stage_sizes=(1, 1, 1, 1))
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(variables, x)
+    assert y.shape == (1, 2, 2, 2048)
+
+
+class TorchVGGTrunk(tnn.Module):
+    """torchvision vgg16.features[:-1] (all convs, no final pool)."""
+
+    def __init__(self):
+        super().__init__()
+        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+               512, 512, 512, "M", 512, 512, 512]
+        layers, in_ch = [], 3
+        for v in cfg:
+            if v == "M":
+                layers.append(tnn.MaxPool2d(2, 2))
+            else:
+                layers += [tnn.Conv2d(in_ch, v, 3, padding=1), tnn.ReLU()]
+                in_ch = v
+        self.features = tnn.Sequential(*layers)
+
+    def forward(self, x):
+        return self.features(x)
+
+
+def test_vgg_features_match_torch():
+    torch.manual_seed(1)
+    tv = TorchVGGTrunk().eval()
+    x = torch.randn(1, 3, 32, 32)
+    want = tv(x).detach().numpy()
+    variables = torch_port.convert_vgg_features(tv.state_dict())
+    model = VGGFeatures(include_final_pool=False)
+    got = model.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_vgg_classifier_head_matches_chw_flatten():
+    torch.manual_seed(2)
+    head = tnn.Sequential(
+        tnn.Linear(512 * 7 * 7, 4096), tnn.ReLU(), tnn.Dropout(0.0),
+        tnn.Linear(4096, 4096), tnn.ReLU()).eval()
+    sd = {f"classifier.{k}": v for k, v in head.state_dict().items()}
+    feat = torch.randn(2, 512, 7, 7)
+    want = head(feat.flatten(1)).detach().numpy()
+    variables = torch_port.convert_vgg_classifier(sd)
+    model = VGGClassifierHead(dropout=0.0)
+    x_hwc = jnp.asarray(feat.numpy().transpose(0, 2, 3, 1).reshape(2, -1))
+    got = model.apply(variables, x_hwc)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+class TorchViTBlock(tnn.Module):
+    """torchvision EncoderBlock: pre-LN MHA + pre-LN GELU MLP."""
+
+    def __init__(self, d=32, heads=4, mlp=64):
+        super().__init__()
+        self.ln_1 = tnn.LayerNorm(d, eps=1e-6)
+        self.self_attention = tnn.MultiheadAttention(d, heads, batch_first=True)
+        self.ln_2 = tnn.LayerNorm(d, eps=1e-6)
+        self.mlp = tnn.Sequential(tnn.Linear(d, mlp), tnn.GELU(),
+                                  tnn.Dropout(0.0), tnn.Linear(mlp, d))
+
+    def forward(self, x):
+        h = self.ln_1(x)
+        h, _ = self.self_attention(h, h, h, need_weights=False)
+        x = x + h
+        return x + self.mlp(self.ln_2(x))
+
+
+def test_vit_block_matches_torch():
+    torch.manual_seed(3)
+    d, heads = 32, 4
+    tb = TorchViTBlock(d, heads).eval()
+    sd = {f"encoder.layers.encoder_layer_0.{k}": v
+          for k, v in tb.state_dict().items()}
+    # convert_vit expects full-model keys; reuse its per-layer logic by
+    # building a single-layer fake full state dict.
+    sd["conv_proj.weight"] = torch.zeros(d, 3, 16, 16)
+    sd["conv_proj.bias"] = torch.zeros(d)
+    sd["class_token"] = torch.zeros(1, 1, d)
+    sd["encoder.pos_embedding"] = torch.zeros(1, 5, d)
+    sd["encoder.ln.weight"] = torch.ones(d)
+    sd["encoder.ln.bias"] = torch.zeros(d)
+    params = torch_port.convert_vit(sd, num_layers=1, num_heads=heads,
+                                    hidden=d)["params"]
+
+    x = torch.randn(2, 5, d)
+    want = tb(x).detach().numpy()
+    blk = ViTBlock(hidden_dim=d, num_heads=heads, mlp_dim=64)
+    got = blk.apply({"params": params["encoder_layer_0"]},
+                    jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_vit_encoder_shapes():
+    model = ViTEncoder(image_size=32, patch_size=16, num_layers=1,
+                       num_heads=4, hidden_dim=32, mlp_dim=64)
+    x = jnp.zeros((2, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(variables, x)
+    assert y.shape == (2, 5, 32)  # 4 patches + class token
