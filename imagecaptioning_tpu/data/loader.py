@@ -133,11 +133,15 @@ class AlexDataLoader:
         if shuffle:
             ix = self._rng.permutation(ix)
         for s in range(0, len(ix) - batch_size + 1, batch_size):
-            sel = ix[s:s + batch_size]
-            images = self.images[np.sort(sel)] \
-                if isinstance(self.images, np.ndarray) \
-                else np.stack([np.asarray(self.images[int(i)]) for i in sel])
-            yield images, self.labels[self.img_to_first_phr[np.sort(sel)]]
+            sel = np.sort(ix[s:s + batch_size])
+            if isinstance(self.images, np.ndarray):
+                # native multi-threaded gather (C++ fastloader) when built
+                from imagecaptioning_tpu.native import gather_records
+                images = gather_records(self.images, sel)
+            else:
+                images = np.stack([np.asarray(self.images[int(i)])
+                                   for i in sel])
+            yield images, self.labels[self.img_to_first_phr[sel]]
 
 
 def prefetch_batches(it: Iterator, size: int = 2,

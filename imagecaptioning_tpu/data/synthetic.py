@@ -10,7 +10,7 @@ Face2Text schema (reference `AlexCap/my_model_preprocess.py:282-330`):
   attributes_labels.
 
 Visual Genome schema (reference `preprocess.py:363-424`):
-  images (N, 3, H, W) u8 padded to 720 | image_heights/widths |
+  images (N, S, S, 3) u8 square-padded to 720 | image_heights/widths |
   boxes (M, 4) xc,yc,w,h 1-indexed | labels (M, T) | lengths |
   img_to_first_box/img_to_last_box (1-indexed slab) | box_to_img | split.
 """
@@ -116,7 +116,9 @@ def make_vg_arrays(num_images: int = 8,
     lengths = (labels != 0).sum(axis=1).astype(np.int32)
 
     s = image_size
-    images = rng.randint(0, 256, size=(num_images, 3, s, s), dtype=np.uint8)
+    # (N, S, S, 3) HWC uint8, square-padded — the reference layout
+    # (preprocess.py:228-229; DataLoader.py asserts H==W at :48-50).
+    images = rng.randint(0, 256, size=(num_images, s, s, 3), dtype=np.uint8)
     wh = rng.randint(s // 8, s // 2, size=(m, 2)).astype(np.float64)
     xc = rng.uniform(wh[:, 0] / 2 + 1, s - wh[:, 0] / 2)
     yc = rng.uniform(wh[:, 1] / 2 + 1, s - wh[:, 1] / 2)

@@ -154,6 +154,78 @@ def make_beam_fn(model, max_steps: int, beam_size: int,
     return run
 
 
+def _make_region_step(model, params):
+    """(init_carry, step) for GTDenseCaptioner-style per-region decode.
+    LSTM heads carry (h, c) batch-major; transformer heads carry
+    {enc, cache} like the AlexCap transformer family."""
+    if model.use_lstm:
+        def init_carry(flat_enc, max_steps):
+            state = model.apply({"params": params}, flat_enc,
+                                method=model.init_decode)
+            return {"state": _lstm_carry_to_batch_major(state)}
+
+        def step(carry, toks, t):
+            state = _lstm_carry_from_batch_major(carry["state"])
+            state, logits, alphas = model.apply(
+                {"params": params}, state, toks, t,
+                method=model.decode_step)
+            return ({"state": _lstm_carry_to_batch_major(state)},
+                    logits, alphas)
+        return init_carry, step
+
+    def init_carry(enc, max_steps):
+        return {"enc": enc, "cache": init_cache(model, params, enc,
+                                                max_steps)}
+
+    def step(carry, toks, t):
+        (enc, logits, alphas), mut = model.apply(
+            {"params": params, "cache": carry["cache"]},
+            carry["enc"], toks, t,
+            method=model.decode_step, mutable=["cache"])
+        return {"enc": enc, "cache": mut["cache"]}, logits, alphas
+    return init_carry, step
+
+
+def make_region_greedy_fn(model, max_steps: int) -> Callable:
+    """(variables, images, boxes) → tokens (N*R, L); fully jitted greedy
+    decode over every (padded) region in the batch — replaces the
+    reference's per-image Python decode loops
+    (`AlexGTModel/AlexDenseLangage.py:171-210`)."""
+
+    @jax.jit
+    def run(variables, images, boxes):
+        params = variables["params"]
+        flat_enc = model.apply(variables, images, boxes,
+                               method=model.encode_flat)
+        init_carry, step = _make_region_step(model, params)
+        carry = init_carry(flat_enc, max_steps)
+        start = model.spec.start
+        toks, _ = decoding.greedy_decode(step, carry, flat_enc.shape[0],
+                                         start, max_steps)
+        return toks
+    return run
+
+
+def make_region_beam_fn(model, max_steps: int, beam_size: int,
+                        use_logprobs: bool = False) -> Callable:
+    """(variables, images, boxes) → BeamResult over N*R regions — the
+    batched vectorized beam of `AlexDenseLangage.py:171-210`, fused."""
+
+    @jax.jit
+    def run(variables, images, boxes):
+        params = variables["params"]
+        flat_enc = model.apply(variables, images, boxes,
+                               method=model.encode_flat)
+        init_carry, step = _make_region_step(model, params)
+        enc_k = decoding.expand_for_beams(flat_enc, beam_size)
+        carry = init_carry(enc_k, max_steps)
+        return decoding.beam_search(
+            step, carry, flat_enc.shape[0], beam_size,
+            start_token=model.spec.start, end_token=model.spec.end,
+            max_steps=max_steps, use_logprobs=use_logprobs)
+    return run
+
+
 class CaptioningModel:
     """Reference-contract facade: stateful wrapper over the pure API."""
 

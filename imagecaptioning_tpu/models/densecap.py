@@ -145,27 +145,54 @@ class GTDenseCaptioner(nn.Module):
     def _scheduled_sampling(self, flat_codes, dec_in, teacher_prob):
         """Curriculum decoding (AlexDenseLangage.py:149-169): at each step
         feed the teacher token with prob `teacher_prob`, else the model's
-        own argmax. One lax.scan; the bernoulli draws use the 'sampling'
-        rng stream."""
+        own argmax; bernoulli draws use the 'sampling' rng stream.
+
+        Unrolled over the ≤T+1 steps rather than `lax.scan`: module calls
+        inside a raw scan leak tracers during flax init, and at these
+        caption lengths (T≤16) unrolling compiles fine — the reference
+        itself steps a Python loop (AlexDenseLangage.py:151)."""
         state = self.llm.init_state(flat_codes)
         rng = self.make_rng("sampling")
         b, t1 = dec_in.shape
 
-        def body(carry, inp):
-            state, prev_model_tok = carry
-            t, teacher_tok = inp
+        logits_list = []
+        prev_model_tok = dec_in[:, 0]
+        for t in range(t1):
+            teacher_tok = dec_in[:, t]
             use_teacher = jax.random.bernoulli(
                 jax.random.fold_in(rng, t), teacher_prob, (b,))
             tok = jnp.where(jnp.logical_or(use_teacher, t == 0),
                             teacher_tok, prev_model_tok)
             logits, state = self.llm.step(tok[:, None], state)
-            nxt = jnp.argmax(logits, axis=-1).astype(dec_in.dtype)
-            return (state, nxt), logits
+            prev_model_tok = jnp.argmax(logits, axis=-1).astype(dec_in.dtype)
+            logits_list.append(logits)
+        return jnp.stack(logits_list, axis=1)
 
-        ts = jnp.arange(t1)
-        (_, _), logits_t = jax.lax.scan(body, (state, dec_in[:, 0]),
-                                        (ts, jnp.swapaxes(dec_in, 0, 1)))
-        return jnp.swapaxes(logits_t, 0, 1)
+    # --- decode API (drives models.decoding greedy/beam) ---------------
+    def encode_flat(self, images, gt_boxes, train: bool = False):
+        """Decode-ready per-region conditioning, (N*R, 1, D): raw 4096-d
+        codes for the LSTM head, encoder output for the transformer."""
+        codes = self.encode_regions(images, gt_boxes, train=train)
+        n, r, d = codes.shape
+        flat = codes.reshape(n * r, 1, d)
+        if self.use_lstm:
+            return flat
+        word_vec = nn.relu(self.fc(flat))
+        return self.encoder(word_vec, None, deterministic=True)
+
+    def init_decode(self, flat_enc):
+        if self.use_lstm:
+            return self.llm.init_state(flat_enc)
+        return flat_enc
+
+    def decode_step(self, carry, toks, t):
+        if self.use_lstm:
+            logits, carry = self.llm.step(toks, carry)
+            return carry, logits, jnp.zeros((toks.shape[0], 1), jnp.float32)
+        logits, _ = self.decoder(toks, carry, None, None,
+                                 decode=True, decode_position=t)
+        return carry, logits[:, 0], jnp.zeros((toks.shape[0], 1),
+                                              jnp.float32)
 
     def loss(self, out: GTDenseOutput, gt_labels, region_mask) -> jnp.ndarray:
         """Masked caption CE over real regions (AlexGTModel LSTMLoss

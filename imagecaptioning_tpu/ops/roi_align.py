@@ -107,7 +107,7 @@ def _roi_kernel(ry_ref, cx_ref, f_ref, out_ref):
         cx, rows3,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)      # (ow, oh, C)
-    out_ref[0] = jnp.swapaxes(out, 0, 1)
+    out_ref[0] = jnp.swapaxes(out, 0, 1).reshape(oh, ow * c)
 
 
 def roi_align_pallas_fwd(features: jnp.ndarray, boxes: jnp.ndarray,

@@ -1,0 +1,389 @@
+"""Training drivers for the dense-captioning families.
+
+`train_gt` reproduces the `traingt.py` loop (SURVEY §2.2): hard
+`max_iter`/`pad`, optional curriculum `teacher_prob =
+40000/(40000+exp(iter/40000))` (`traingt.py:72-73`), Adam with additive
+weight decay, CNN frozen until one epoch of images then `features[10:]`
+unfrozen (`traingt.py:58-64,87-88` — conv1_*/conv2_* stay frozen
+forever), eval by the GT mAP protocol with best-checkpoint selection on
+val mAP (`traingt.py:95-109`), loss/result history JSONs in the
+reference schema.
+
+`train_rpn` is the `DenseCap/train.py` equivalent: the 5-loss dict per
+step (mid/end objectness + box-reg, captioning), frozen conv1/conv2
+(`train.py:62-64`). The committed reference driver is broken (unpacks
+5 values from a 4-tuple, `train.py:49`); this is the repaired loop.
+
+TPU-native: each iteration — uint8→normalized preprocess, VGG trunk,
+(RPN sampling,) ROI pooling, caption head, backward, Adam — is one
+donated jit program over batched images with padded region slabs.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from imagecaptioning_tpu.config.dense_configs import (DenseConfig,
+                                                      name_gt_model)
+from imagecaptioning_tpu.data import synthetic
+from imagecaptioning_tpu.data.vg_loader import VGDataLoader, normalize_images
+from imagecaptioning_tpu.eval import dense_eval
+from imagecaptioning_tpu.models.densecap import DenseCapRPN, GTDenseCaptioner
+from imagecaptioning_tpu.train.step import TrainState
+from imagecaptioning_tpu.utils import checkpoint as ckptlib
+from imagecaptioning_tpu.utils.io import LossHistory, ResultsHistory
+
+
+def make_vg_loader(cfg: DenseConfig, synthetic_fallback: bool = True,
+                   synthetic_images: int = 8,
+                   image_size: int = 64) -> VGDataLoader:
+    if os.path.exists(cfg.data_h5) and os.path.exists(cfg.data_json):
+        return VGDataLoader(data_h5=cfg.data_h5, data_json=cfg.data_json,
+                            seed=cfg.seed,
+                            debug_max_train_images=cfg.debug_max_train_images)
+    if not synthetic_fallback:
+        raise FileNotFoundError(cfg.data_h5)
+    arrays, info = synthetic.make_vg_arrays(num_images=synthetic_images,
+                                            image_size=image_size,
+                                            seed=cfg.seed)
+    return VGDataLoader(arrays=arrays, info=info, seed=cfg.seed)
+
+
+def teacher_prob_schedule(it) -> jnp.ndarray:
+    """Curriculum schedule 40000/(40000+exp(iter/40000)) (`traingt.py:72`)."""
+    k = 40000.0
+    return k / (k + jnp.exp(jnp.asarray(it, jnp.float32) / k))
+
+
+def _vgg_label_fn(params, finetune: bool):
+    """'frozen' = conv1_*/conv2_* (the reference never unfreezes
+    features[:10]); 'encoder' = rest of the VGG trunk; 'head' = all else."""
+    def label(path, _):
+        top = path[0].key if hasattr(path[0], "key") else str(path[0])
+        if top in ("features", "conv_trunk"):
+            sub = path[1].key if hasattr(path[1], "key") else str(path[1])
+            if sub.startswith(("conv1_", "conv2_")):
+                return "frozen" if finetune else "encoder"
+            return "encoder"
+        return "head"
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_dense_optimizer(cfg: DenseConfig,
+                         finetune_start_step: int) -> optax.GradientTransformation:
+    """torch `Adam(params, lr, weight_decay=wd)` = additive L2 on the
+    gradient *before* the Adam moments, not AdamW (`traingt.py:62`)."""
+    def adam(lr_schedule):
+        return optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.scale_by_adam(b1=cfg.optim_beta1, b2=cfg.optim_beta2,
+                                eps=cfg.optim_epsilon),
+            optax.scale_by_learning_rate(lr_schedule))
+
+    head_tx = adam(cfg.learning_rate)
+    if cfg.finetune_cnn:
+        def enc_schedule(step):
+            return jnp.where(step >= finetune_start_step,
+                             cfg.learning_rate, 0.0)
+        enc_tx = adam(enc_schedule)
+        frozen_tx = optax.set_to_zero()
+    else:
+        enc_tx = optax.set_to_zero()
+        frozen_tx = optax.set_to_zero()
+    return optax.multi_transform(
+        {"encoder": enc_tx, "head": head_tx, "frozen": frozen_tx},
+        lambda params: _vgg_label_fn(params, cfg.finetune_cnn))
+
+
+def build_gt_model(cfg: DenseConfig, vocab_size: int,
+                   seq_length: int) -> GTDenseCaptioner:
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    return GTDenseCaptioner(
+        vocab_size=vocab_size, seq_length=seq_length,
+        use_lstm=cfg.use_lstm, embedding_size=cfg.input_encoding_size,
+        rnn_size=cfg.rnn_size, num_lstm_layers=cfg.num_layers,
+        dropout=cfg.drop_value if cfg.use_dropout else 0.0,
+        compute_dtype=dtype)
+
+
+def build_rpn_model(cfg: DenseConfig, vocab_size: int,
+                    seq_length: int) -> DenseCapRPN:
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    return DenseCapRPN(
+        vocab_size=vocab_size, seq_length=seq_length,
+        num_pos=cfg.sampler_batch_size // 2,
+        num_neg=cfg.sampler_batch_size // 2,
+        test_proposals=min(cfg.test_num_proposals, 300),
+        embedding_size=cfg.input_encoding_size, rnn_size=cfg.rnn_size,
+        mid_obj_weight=cfg.mid_objectness_weight,
+        mid_reg_weight=cfg.mid_box_reg_weight,
+        end_obj_weight=cfg.end_objectness_weight,
+        end_reg_weight=cfg.end_box_reg_weight,
+        caption_weight=cfg.captioning_weight,
+        compute_dtype=dtype)
+
+
+def _endless_batches(loader, cfg: DenseConfig):
+    while True:
+        yield from loader.padded_batches(0, cfg.batch_size,
+                                         max_regions=cfg.max_regions,
+                                         shuffle=False)
+
+
+def make_gt_train_step(model: GTDenseCaptioner, tx,
+                       use_curriculum: bool, dtype):
+    def train_step(state: TrainState, images_u8, boxes, labels, mask,
+                   teacher_prob):
+        rng, d_rng, s_rng = jax.random.split(state.rng, 3)
+        x = normalize_images(images_u8, dtype=dtype)
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params}, x, boxes, labels, train=True,
+                teacher_prob=teacher_prob if use_curriculum else None,
+                rngs={"dropout": d_rng, "sampling": s_rng})
+            return model.loss(out, labels, mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (TrainState(state.step + 1, params, opt_state,
+                           state.batch_stats, rng),
+                {"captioning_loss": loss})
+    return train_step
+
+
+def train_gt(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
+             eval_every_override: Optional[int] = None,
+             synthetic_fallback: bool = True, synthetic_images: int = 8,
+             synthetic_image_size: int = 64,
+             verbose: bool = True) -> Dict:
+    """The traingt.py loop. Returns a summary with histories + state."""
+    loss_file, result_file, save_path = name_gt_model(cfg)
+    loader = make_vg_loader(cfg, synthetic_fallback, synthetic_images,
+                            synthetic_image_size)
+    model = build_gt_model(cfg, loader.getVocabSize(), loader.getSeqLength())
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    max_iter = max_iter_override or cfg.max_iters
+    pad = cfg.loss_log_pad
+    eval_every = eval_every_override or cfg.save_checkpoint_every
+    finetune_start = len(loader.train_ix)      # traingt.py:87-88
+    tx = make_dense_optimizer(cfg, finetune_start)
+
+    batches = _endless_batches(loader, cfg)
+    b0 = next(loader.padded_batches(0, cfg.batch_size,
+                                    max_regions=cfg.max_regions))
+    rng = jax.random.PRNGKey(cfg.seed)
+    variables = model.init(
+        {"params": rng, "dropout": rng, "sampling": rng},
+        normalize_images(b0["image"], dtype=dtype),
+        jnp.asarray(b0["boxes"]), jnp.asarray(b0["labels"]), train=True,
+        teacher_prob=jnp.float32(1.0) if cfg.use_curriculum_learning
+        else None)
+    state = TrainState(jnp.array(0, jnp.int32), variables["params"],
+                       tx.init(variables["params"]),
+                       variables.get("batch_stats", {}),
+                       jax.random.PRNGKey(cfg.seed + 1))
+
+    train_step = jax.jit(
+        make_gt_train_step(model, tx, cfg.use_curriculum_learning, dtype),
+        donate_argnums=(0,))
+
+    loss_hist = LossHistory(loss_file, resume=cfg.from_checkpoint)
+    res_hist = ResultsHistory(result_file, resume=cfg.from_checkpoint)
+    start_iter = 0
+    if cfg.from_checkpoint and os.path.isdir(save_path):
+        state, _ = ckptlib.restore_checkpoint(save_path, state)
+        start_iter = int(state.step)
+        if verbose:
+            print(f"resumed from {save_path} at iter {start_iter}")
+
+    it = start_iter
+    last_loss = float("nan")
+    for batch in batches:
+        if it >= max_iter:
+            break
+        tp = teacher_prob_schedule(it)
+        t0 = time.perf_counter()
+        state, metrics = train_step(state, jnp.asarray(batch["image"]),
+                                    jnp.asarray(batch["boxes"]),
+                                    jnp.asarray(batch["labels"]),
+                                    jnp.asarray(batch["box_mask"]), tp)
+        last_loss = float(metrics["captioning_loss"])
+        step_ms = (time.perf_counter() - t0) * 1000.0
+        it += 1
+        if it % pad == 0:
+            loss_hist.append(it, last_loss, step_ms)
+            loss_hist.flush()
+            if verbose:
+                print(f"iter {it}/{max_iter} captioning_loss "
+                      f"{last_loss:.5f} ({step_ms:.1f} ms)")
+        if it % eval_every == 0 or it == max_iter:
+            results = dense_eval.eval_split_gt(
+                model, {"params": state.params}, loader, split=1,
+                batch_size=cfg.eval_batch_size,
+                max_regions=cfg.max_regions)
+            is_best = res_hist.append(it, results,
+                                      score_key=("ap_results", "map"))
+            res_hist.flush()
+            if verbose:
+                print(f"eval@{it}: map={results['ap_results']['map']:.4f} "
+                      f"best={is_best}")
+            if is_best:
+                ckptlib.save_checkpoint(save_path, state)
+
+    return {
+        "iters": it,
+        "final_loss": last_loss,
+        "best_val_score": res_hist.best_score,
+        "best_iter": res_hist.best_iter,
+        "loss_file": loss_file,
+        "result_file": result_file,
+        "save_path": save_path,
+        "state": state,
+        "model": model,
+        "loader": loader,
+    }
+
+
+# ------------------------------------------------------------- RPN path
+
+def make_rpn_train_step(model: DenseCapRPN, tx, dtype):
+    def train_step(state: TrainState, images_u8, boxes, mask, labels):
+        rng, d_rng, s_rng = jax.random.split(state.rng, 3)
+        x = normalize_images(images_u8, dtype=dtype)
+
+        def loss_fn(params):
+            loss_dict = model.apply(
+                {"params": params}, x, boxes, mask, labels, train=True,
+                rngs={"dropout": d_rng, "sampling": s_rng})
+            return loss_dict["total"], loss_dict
+
+        (_, loss_dict), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (TrainState(state.step + 1, params, opt_state,
+                           state.batch_stats, rng), loss_dict)
+    return train_step
+
+
+def eval_split_rpn(model: DenseCapRPN, variables, loader, *,
+                   split: int = 1, max_regions: Optional[int] = None,
+                   max_images: int = -1, score_thresh: float = -10.0) -> Dict:
+    """The `DenseCap/eval/eval_utils.eval_split` protocol over our RPN
+    model: forward_test detections + greedy captions per image, full
+    DenseCap mAP."""
+    from imagecaptioning_tpu.models import api  # noqa: F401  (parity)
+
+    seq_len = loader.getSeqLength()
+
+    @jax.jit
+    def detect(variables, images):
+        boxes, scores, codes, keep = model.apply(
+            variables, images, method=model.forward_test)
+        toks = model.apply(variables, codes, seq_len + 1,
+                           method=model.generate_captions)
+        return boxes, scores, toks, keep
+
+    evaluator = dense_eval.DenseCaptioningEvaluator()
+    vocab = loader.vocab
+    seen = 0
+    for batch in loader.padded_batches(split, 1, max_regions):
+        if 0 < max_images <= seen:
+            break
+        images = normalize_images(batch["image"])
+        boxes, scores, toks, keep = detect(variables, images)
+        b = np.asarray(boxes[0])
+        s = np.asarray(scores[0])
+        k = np.asarray(keep[0]) & (s > score_thresh)
+        toks = np.asarray(toks).reshape(1, b.shape[0], -1)[0]
+        caps = vocab.decode_sequence(toks[k]) if k.any() else []
+        m = batch["box_mask"][0] > 0
+        gt_caps = vocab.decode_sequence(batch["labels"][0][m])
+        if k.any():
+            evaluator.addResult(s[k], b[k], caps, batch["boxes"][0][m],
+                                gt_caps)
+        seen += 1
+    return {"ap_results": evaluator.evaluate(), "num_images": seen}
+
+
+def train_rpn(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
+              eval_every_override: Optional[int] = None,
+              synthetic_fallback: bool = True, synthetic_images: int = 8,
+              synthetic_image_size: int = 64,
+              verbose: bool = True) -> Dict:
+    """The repaired DenseCap/train.py loop over DenseCapRPN."""
+    loader = make_vg_loader(cfg, synthetic_fallback, synthetic_images,
+                            synthetic_image_size)
+    model = build_rpn_model(cfg, loader.getVocabSize(),
+                            loader.getSeqLength())
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    max_iter = max_iter_override or cfg.max_iters
+    eval_every = eval_every_override or cfg.save_checkpoint_every
+    tx = make_dense_optimizer(cfg, len(loader.train_ix))
+
+    b0 = next(loader.padded_batches(0, cfg.batch_size,
+                                    max_regions=cfg.max_regions))
+    rng = jax.random.PRNGKey(cfg.seed)
+    variables = model.init(
+        {"params": rng, "dropout": rng, "sampling": rng},
+        normalize_images(b0["image"], dtype=dtype),
+        jnp.asarray(b0["boxes"]), jnp.asarray(b0["box_mask"]),
+        jnp.asarray(b0["labels"]), train=True)
+    state = TrainState(jnp.array(0, jnp.int32), variables["params"],
+                       tx.init(variables["params"]),
+                       variables.get("batch_stats", {}),
+                       jax.random.PRNGKey(cfg.seed + 1))
+    train_step = jax.jit(make_rpn_train_step(model, tx, dtype),
+                         donate_argnums=(0,))
+
+    loss_hist = LossHistory(cfg.loss_file, resume=False)
+    res_hist = ResultsHistory(cfg.result_file, resume=False)
+
+    it = 0
+    last = {}
+    for batch in _endless_batches(loader, cfg):
+        if it >= max_iter:
+            break
+        t0 = time.perf_counter()
+        state, loss_dict = train_step(state, jnp.asarray(batch["image"]),
+                                      jnp.asarray(batch["boxes"]),
+                                      jnp.asarray(batch["box_mask"]),
+                                      jnp.asarray(batch["labels"]))
+        last = {k: float(v) for k, v in loss_dict.items()}
+        step_ms = (time.perf_counter() - t0) * 1000.0
+        it += 1
+        if it % cfg.losses_log_every == 0:
+            loss_hist.append(it, last["total"], step_ms)
+            loss_hist.flush()
+            if verbose:
+                msg = ", ".join(f"{k}: {v:.5f}" for k, v in last.items())
+                print(f"iter {it}/{max_iter} -> {msg}")
+        if it % eval_every == 0 or it == max_iter:
+            results = eval_split_rpn(model, {"params": state.params},
+                                     loader, split=1,
+                                     max_regions=cfg.max_regions)
+            is_best = res_hist.append(it, results,
+                                      score_key=("ap_results", "map"))
+            res_hist.flush()
+            if is_best:
+                ckptlib.save_checkpoint(cfg.save_path, state)
+            if verbose:
+                print(f"eval@{it}: map={results['ap_results']['map']:.4f}")
+
+    return {
+        "iters": it, "final_losses": last,
+        "best_val_score": res_hist.best_score,
+        "best_iter": res_hist.best_iter,
+        "state": state, "model": model, "loader": loader,
+    }

@@ -75,9 +75,15 @@ class ResultsHistory:
                 self.best_score = last.get("best_val_score")
                 self.best_iter = last.get("best_iter", 0)
 
-    def append(self, it: int, results: Dict) -> bool:
-        """Returns True iff this eval is a new best."""
-        score = results.get("ap_results", {}).get("meteor", 0.0)
+    def append(self, it: int, results: Dict,
+               score_key=("ap_results", "meteor")) -> bool:
+        """Returns True iff this eval is a new best. `score_key` selects
+        the model-selection metric: METEOR for AlexCap drivers
+        (train_LSTM.py:122), mAP for the dense drivers (traingt.py:103)."""
+        score = results
+        for k in score_key:
+            score = score.get(k, {}) if isinstance(score, dict) else 0.0
+        score = score if isinstance(score, (int, float)) else 0.0
         is_best = self.best_score is None or score > self.best_score
         if is_best:
             self.best_score = score

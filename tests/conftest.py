@@ -4,7 +4,10 @@ the standard JAX recipe for testing multi-chip code paths."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the session presets JAX_PLATFORMS (e.g. the axon
+# TPU tunnel): tests must see 8 virtual devices, and per-test compiles
+# are faster on host than through the single-chip tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,4 +15,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-registers the TPU tunnel via
+# jax.config (overriding JAX_PLATFORMS env) — undo it before any
+# backend initializes so tests run on the 8-device virtual CPU.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -136,10 +136,10 @@ def _torch_roi(feat_hwc, boxes, image_hw, out=7):
     outs = []
     for (xc, yc, w, h) in np.asarray(boxes):
         theta = torch.zeros(1, 2, 3, dtype=torch.float64)
-        theta[0, 0, 2] = (xc * 2 - 1 - W) / (W - 1)
-        theta[0, 1, 2] = (yc * 2 - 1 - H) / (H - 1)
-        theta[0, 0, 0] = w / W
-        theta[0, 1, 1] = h / H
+        theta[0, 0, 2] = float((xc * 2 - 1 - W) / (W - 1))
+        theta[0, 1, 2] = float((yc * 2 - 1 - H) / (H - 1))
+        theta[0, 0, 0] = float(w / W)
+        theta[0, 1, 1] = float(h / H)
         grid = F.affine_grid(theta, [1, 1, out, out], align_corners=False)
         s = F.grid_sample(f.double(), grid, align_corners=False)
         outs.append(s[0].numpy().transpose(1, 2, 0))

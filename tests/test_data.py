@@ -102,11 +102,12 @@ def test_h5_roundtrip(tmp_path):
 def test_vg_arrays_schema():
     arrays, info = synthetic.make_vg_arrays(num_images=4,
                                             regions_per_image=3)
-    assert arrays["images"].shape[1] == 3          # CHW like reference
+    assert arrays["images"].shape[-1] == 3         # HWC like reference
+    assert arrays["images"].shape[1] == arrays["images"].shape[2]
     assert arrays["boxes"].shape == (12, 4)
     assert arrays["img_to_first_box"][0] == 1      # 1-indexed slabs
     assert (arrays["img_to_last_box"] - arrays["img_to_first_box"] == 2).all()
     # boxes inside the image
-    s = arrays["images"].shape[2]
+    s = arrays["images"].shape[1]
     x1 = arrays["boxes"][:, 0] - arrays["boxes"][:, 2] / 2
     assert (x1 >= 0).all()

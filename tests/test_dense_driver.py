@@ -1,0 +1,114 @@
+"""Smoke + semantics tests for the dense-captioning training drivers."""
+
+import numpy as np
+import pytest
+
+from imagecaptioning_tpu.config.dense_configs import (get_densecap_config,
+                                                      get_gt_config,
+                                                      name_gt_model)
+from imagecaptioning_tpu.train import dense_driver
+
+
+class TestNaming:
+    def test_default_transformer_names(self):
+        cfg = get_gt_config().replace(finetune_cnn=False)
+        loss, res, save = name_gt_model(cfg)
+        assert "transformer_gt" in loss and "transformer_gt" in save
+
+    def test_lstm_dropout_finetuned_rewrites(self):
+        cfg = get_gt_config().replace(use_lstm=True, use_dropout=True,
+                                      drop_value=0.5, finetune_cnn=True)
+        loss, res, save = name_gt_model(cfg)
+        # traingt.py order: lstm first, gt→gt_drop0.5, then the finetune
+        # rewrite re-matches the 'gt' prefix → gt_finetuned_drop0.5 —
+        # exactly the committed artifact name
+        # (AlexGTModel/logs/results_history_lstm_gt_finetuned_drop0.5.json)
+        assert "lstm_gt_finetuned_drop0.5" in loss
+        assert "lstm_gt_finetuned_drop0.5" in save
+
+
+def test_teacher_prob_schedule():
+    assert float(dense_driver.teacher_prob_schedule(0)) == pytest.approx(
+        40000.0 / 40001.0, rel=1e-5)
+    # decreasing in iter
+    a = float(dense_driver.teacher_prob_schedule(0))
+    b = float(dense_driver.teacher_prob_schedule(200000))
+    assert b < a
+
+
+def _tiny_gt_cfg(tmp_path, **kw):
+    return get_gt_config().replace(
+        data_h5=str(tmp_path / "missing.h5"),
+        data_json=str(tmp_path / "missing.json"),
+        save_path=str(tmp_path / "models/best_gt.ckpt"),
+        loss_file=str(tmp_path / "loss_logs/loss_gt.json"),
+        result_file=str(tmp_path / "logs/results_gt.json"),
+        batch_size=2, max_regions=3, rnn_size=32,
+        input_encoding_size=32, compute_dtype="float32",
+        eval_batch_size=2, loss_log_pad=1, **kw)
+
+
+@pytest.mark.parametrize("use_lstm,curriculum", [(True, True),
+                                                 (False, False)])
+def test_train_gt_smoke(tmp_path, use_lstm, curriculum):
+    cfg = _tiny_gt_cfg(tmp_path, use_lstm=use_lstm,
+                       use_curriculum_learning=curriculum)
+    out = dense_driver.train_gt(cfg, max_iter_override=2,
+                                eval_every_override=2,
+                                synthetic_images=8,
+                                synthetic_image_size=64, verbose=False)
+    assert out["iters"] == 2
+    assert np.isfinite(out["final_loss"])
+    assert out["best_val_score"] is not None
+    import os
+    loss_file, result_file, save_path = name_gt_model(cfg)
+    assert os.path.exists(loss_file)
+    assert os.path.exists(result_file)
+    assert os.path.isdir(save_path)        # best checkpoint written
+
+
+def test_train_rpn_smoke(tmp_path):
+    cfg = get_densecap_config().replace(
+        data_h5=str(tmp_path / "missing.h5"),
+        data_json=str(tmp_path / "missing.json"),
+        save_path=str(tmp_path / "models/best_rpn.ckpt"),
+        loss_file=str(tmp_path / "loss_logs/loss_rpn.json"),
+        result_file=str(tmp_path / "logs/results_rpn.json"),
+        batch_size=2, max_regions=3, rnn_size=32,
+        input_encoding_size=32, compute_dtype="float32",
+        sampler_batch_size=16, test_num_proposals=20,
+        losses_log_every=1)
+    out = dense_driver.train_rpn(cfg, max_iter_override=2,
+                                 eval_every_override=2,
+                                 synthetic_images=6,
+                                 synthetic_image_size=96, verbose=False)
+    assert out["iters"] == 2
+    for k in ("mid_objectness", "mid_box_reg", "end_objectness",
+              "end_box_reg", "captioning", "total"):
+        assert np.isfinite(out["final_losses"][k]), k
+
+
+def test_optimizer_freezes_conv1_conv2():
+    """conv1_*/conv2_* never update; later convs update only after the
+    finetune step; head updates immediately."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = get_gt_config().replace(weight_decay=0.0)
+    tx = dense_driver.make_dense_optimizer(cfg, finetune_start_step=5)
+    params = {
+        "features": {"conv1_1": {"kernel": jnp.ones((2, 2))},
+                     "conv5_3": {"kernel": jnp.ones((2, 2))}},
+        "llm": {"w": jnp.ones((2, 2))},
+    }
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, state = tx.update(grads, state, params)
+    assert float(jnp.abs(updates["features"]["conv1_1"]["kernel"]).max()) == 0
+    assert float(jnp.abs(updates["features"]["conv5_3"]["kernel"]).max()) == 0
+    assert float(jnp.abs(updates["llm"]["w"]).max()) > 0
+    # after the finetune boundary the later conv starts moving
+    for _ in range(6):
+        updates, state = tx.update(grads, state, params)
+    assert float(jnp.abs(updates["features"]["conv5_3"]["kernel"]).max()) > 0
+    assert float(jnp.abs(updates["features"]["conv1_1"]["kernel"]).max()) == 0
