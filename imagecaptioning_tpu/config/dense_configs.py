@@ -86,6 +86,10 @@ class DenseConfig:
     losses_log_every: int = 10
     loss_log_pad: int = 500          # traingt.py 'pad'
 
+    # roi_only: the reference's detection-only RoiModel switch
+    # (DenseCap/models.py:12-16)
+    roi_only: bool = False
+
     # Misc (train_opts.py:76-82)
     id: str = ""
     seed: int = 123
@@ -102,6 +106,8 @@ class DenseConfig:
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     eval_batch_size: int = 2
+    debug_nans: bool = False
+    profile_dir: str = ""        # jax.profiler trace dir ('' = off)
 
     def replace(self, **kw) -> "DenseConfig":
         return replace(self, **kw)

@@ -117,7 +117,7 @@ def eval_box_recalls(boxes_xcycwh: np.ndarray, gt_xcycwh: np.ndarray,
 # ------------------------------------------------------------- scoring
 
 def _meteor(references: Sequence[str], candidate: str) -> float:
-    from nltk.translate import meteor
+    from imagecaptioning_tpu.eval.scorer import meteor_pair
     try:
         from nltk import word_tokenize
         refs = [word_tokenize(r) for r in references]
@@ -128,8 +128,8 @@ def _meteor(references: Sequence[str], candidate: str) -> float:
     if not refs or not cand:
         return 0.0
     try:
-        return round(float(meteor(refs, cand)), 4)
-    except (LookupError, ValueError):
+        return round(meteor_pair(refs, cand), 4)
+    except ValueError:
         return 0.0
 
 

@@ -17,15 +17,32 @@ from dataclasses import dataclass, field
 from typing import Dict, List, Sequence
 
 
+class _EmptyWordnet:
+    """Wordnet stand-in when the NLTK corpus is unavailable offline:
+    METEOR still aligns via its exact and Porter-stem stages, only the
+    synonym stage degrades (finds nothing)."""
+
+    def synsets(self, word):
+        return []
+
+
+def meteor_pair(references_tok, candidate_tok) -> float:
+    from nltk.translate.meteor_score import meteor_score
+    try:
+        return float(meteor_score(references_tok, candidate_tok))
+    except LookupError:      # no wordnet corpus on this host
+        return float(meteor_score(references_tok, candidate_tok,
+                                  wordnet=_EmptyWordnet()))
+
+
 def _score_pair(candidate: str, references: Sequence[str]):
     from nltk.translate.bleu_score import SmoothingFunction, sentence_bleu
-    from nltk.translate.meteor_score import meteor_score
 
     cand_tok = candidate.split()
     refs_tok = [r.split() for r in references]
     if not cand_tok or not any(refs_tok):
         return 0.0, 0.0
-    meteor = meteor_score(refs_tok, cand_tok)
+    meteor = meteor_pair(refs_tok, cand_tok)
     bleu = sentence_bleu(refs_tok, cand_tok,
                          smoothing_function=SmoothingFunction().method4)
     return float(meteor), float(bleu)

@@ -60,6 +60,11 @@ class _CNNEncoderMixin:
     statistics — "BN-freeze finetuning". The reference leaves torch BN
     in train mode even while the CNN is frozen, silently drifting the
     running stats (train_LSTM.py:48-54); we do not reproduce that bug.
+
+    `freeze_encoder=True` reproduces the reference's frozen-CNN phase
+    exactly (`requires_grad_(False)`, train_LSTM.py:48): gradients stop
+    at the encoder output, so XLA never builds the conv backward —
+    the phase the reference's throughput numbers were measured in.
     """
 
     def _make_encoder(self):
@@ -67,6 +72,11 @@ class _CNNEncoderMixin:
             return VGGFeatures(dtype=self.compute_dtype), 512
         return (ResNetFeatures(stage_sizes=self.backbone_stages,
                                dtype=self.compute_dtype), 2048)
+
+    def _maybe_stop_gradient(self, feats):
+        if getattr(self, "freeze_encoder", False):
+            return jax.lax.stop_gradient(feats)
+        return feats
 
 
 class LSTMCaptioner(nn.Module, _CNNEncoderMixin):
@@ -78,6 +88,7 @@ class LSTMCaptioner(nn.Module, _CNNEncoderMixin):
     use_vggface: bool = False
     backbone_stages: Tuple[int, ...] = (3, 4, 23, 3)
     compute_dtype: Any = jnp.float32
+    freeze_encoder: bool = False
 
     def setup(self):
         self.features, self.fc_dim = self._make_encoder()
@@ -89,8 +100,9 @@ class LSTMCaptioner(nn.Module, _CNNEncoderMixin):
             dropout=self.dropout)
 
     def encode(self, images, train: bool = False):
-        return _flatten_grid(self.features(images, train=False)
-                             .astype(jnp.float32))
+        feats = _flatten_grid(self.features(images, train=False)
+                              .astype(jnp.float32))
+        return self._maybe_stop_gradient(feats)
 
     def __call__(self, images, gt, train: bool = False) -> TrainOutput:
         feats = self.encode(images, train=train)
@@ -120,6 +132,7 @@ class AttentionCaptioner(nn.Module, _CNNEncoderMixin):
     att_reg_weight: float = 1.0
     backbone_stages: Tuple[int, ...] = (3, 4, 23, 3)
     compute_dtype: Any = jnp.float32
+    freeze_encoder: bool = False
 
     def setup(self):
         self.features, self.fc_dim = self._make_encoder()
@@ -131,8 +144,9 @@ class AttentionCaptioner(nn.Module, _CNNEncoderMixin):
             dropout=self.dropout)
 
     def encode(self, images, train: bool = False):
-        return _flatten_grid(self.features(images, train=False)
-                             .astype(jnp.float32))
+        feats = _flatten_grid(self.features(images, train=False)
+                              .astype(jnp.float32))
+        return self._maybe_stop_gradient(feats)
 
     def __call__(self, images, gt, train: bool = False) -> TrainOutput:
         feats = self.encode(images, train=train)
@@ -166,6 +180,7 @@ class TransformerCaptioner(nn.Module, _CNNEncoderMixin):
     use_vggface: bool = False
     backbone_stages: Tuple[int, ...] = (3, 4, 23, 3)
     compute_dtype: Any = jnp.float32
+    freeze_encoder: bool = False
 
     def setup(self):
         self.features, self.fc_dim = self._make_encoder()
@@ -184,6 +199,7 @@ class TransformerCaptioner(nn.Module, _CNNEncoderMixin):
     def encode(self, images, train: bool = False):
         grid = _flatten_grid(self.features(images, train=False)
                              .astype(jnp.float32))
+        grid = self._maybe_stop_gradient(grid)
         word_vec = nn.relu(self.fc(grid))
         return self.encoder(word_vec, None, deterministic=not train)
 
@@ -228,6 +244,7 @@ class ViTCaptioner(nn.Module):
     vit_hidden: int = 768
     vit_mlp: int = 3072
     compute_dtype: Any = jnp.float32
+    freeze_encoder: bool = False
 
     def setup(self):
         self.encoder_vit = ViTEncoder(
@@ -244,8 +261,11 @@ class ViTCaptioner(nn.Module):
     def encode(self, images, train: bool = False):
         # Encoder stays deterministic: the reference freezes it when
         # pretrained (VitbModel.py:162-166); 197 tokens incl. class token.
-        return self.encoder_vit(images, deterministic=True) \
+        feats = self.encoder_vit(images, deterministic=True) \
             .astype(jnp.float32)
+        if self.freeze_encoder:
+            feats = jax.lax.stop_gradient(feats)
+        return feats
 
     def __call__(self, images, gt, train: bool = False) -> TrainOutput:
         enc = self.encode(images, train=train)
@@ -271,30 +291,40 @@ class ViTCaptioner(nn.Module):
         return losses.smoothed_cross_entropy(out.logits, target)
 
 
-def build_model(cfg, vocab_size: int, seq_length: int):
+def build_model(cfg, vocab_size: int, seq_length: int,
+                freeze_encoder: Optional[bool] = None):
     """Config → model instance (the reference's per-driver constructor
-    switch, e.g. train_LSTM.py:41-47)."""
+    switch, e.g. train_LSTM.py:41-47). `freeze_encoder` overrides the
+    gradient-stop at the encoder boundary; the ViT default follows the
+    reference (frozen iff pretrained, VitbModel.py:162-166)."""
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     drop = cfg.drop_value if cfg.use_dropout else 0.0
+    fe = bool(freeze_encoder)
     if cfg.model_type == "lstm":
         return LSTMCaptioner(
             vocab_size=vocab_size, embedding_size=cfg.embedding_size,
             rnn_size=cfg.lstm_size, num_layers=cfg.num_layers,
-            dropout=drop, use_vggface=cfg.use_vggface, compute_dtype=dtype)
+            dropout=drop, use_vggface=cfg.use_vggface, compute_dtype=dtype,
+            freeze_encoder=fe)
     if cfg.model_type == "lstm_attention":
         return AttentionCaptioner(
             vocab_size=vocab_size, embedding_size=cfg.embedding_size,
             rnn_size=cfg.lstm_size, dropout=drop,
-            use_vggface=cfg.use_vggface, compute_dtype=dtype)
+            use_vggface=cfg.use_vggface, compute_dtype=dtype,
+            freeze_encoder=fe)
     if cfg.model_type == "transformer":
         return TransformerCaptioner(
             vocab_size=vocab_size, max_length=seq_length,
             embed_size=cfg.transformer_size, num_layers=cfg.num_layers,
             heads=cfg.num_heads, dropout=drop,
-            use_vggface=cfg.use_vggface, compute_dtype=dtype)
+            use_vggface=cfg.use_vggface, compute_dtype=dtype,
+            freeze_encoder=fe)
     if cfg.model_type == "vitb":
+        if freeze_encoder is None:
+            fe = bool(cfg.trained_encoder)
         return ViTCaptioner(
             vocab_size=vocab_size, max_length=seq_length,
             embed_size=cfg.embedding_size, num_layers=cfg.num_layers,
-            heads=cfg.num_heads, dropout=drop, compute_dtype=dtype)
+            heads=cfg.num_heads, dropout=drop, compute_dtype=dtype,
+            freeze_encoder=fe)
     raise ValueError(f"unknown model_type {cfg.model_type}")

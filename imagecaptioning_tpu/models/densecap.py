@@ -244,6 +244,10 @@ class DenseCapRPN(nn.Module):
     end_obj_weight: float = 0.1
     end_reg_weight: float = 0.1
     caption_weight: float = 1.0
+    box_reg_decay: float = 5e-5
+    # False = the reference's detection-only RoiModel (RoiModel.py:198-239):
+    # no caption head, 4-term total.
+    with_captioning: bool = True
     compute_dtype: Any = jnp.float32
 
     def setup(self):
@@ -260,10 +264,11 @@ class DenseCapRPN(nn.Module):
             1, kernel_init=nn.initializers.normal(0.01))
         self.box_reg = nn.Dense(4, kernel_init=nn.initializers.zeros,
                                 bias_init=nn.initializers.zeros)
-        self.llm = LanguageHead(
-            vocab_size=self.vocab_size,
-            embedding_size=self.embedding_size,
-            rnn_size=self.rnn_size)
+        if self.with_captioning:
+            self.llm = LanguageHead(
+                vocab_size=self.vocab_size,
+                embedding_size=self.embedding_size,
+                rnn_size=self.rnn_size)
 
     def rpn_forward(self, feats, image_hw) -> RPNOutput:
         """feats (N, Hf, Wf, 512) → flattened per-anchor proposals."""
@@ -320,6 +325,7 @@ class DenseCapRPN(nn.Module):
                 [jnp.ones_like(pos_scores), jnp.zeros_like(neg_scores)])
             obj_w = jnp.concatenate([s.pos_mask, s.neg_mask]).astype(
                 jnp.float32)
+            # masked LogisticCriterion (LogisticCriterion.py:17-30)
             mid_obj = (jax.nn.softplus(
                 jnp.where(obj_targets > 0, -obj_scores, obj_scores))
                 * obj_w).sum() / jnp.maximum(obj_w.sum(), 1.0)
@@ -352,27 +358,35 @@ class DenseCapRPN(nn.Module):
             rngs, feats, rpn.proposals, rpn.scores, rpn.trans,
             gt_boxes, gt_mask, gt_labels)
 
-        # captioning on all positives across the batch
-        flat_codes = pos_codes.reshape(-1, 1, 4096)
-        flat_labels = jnp.where(pos_mask.reshape(-1, 1) > 0,
-                                pos_labels.reshape(-1,
-                                                   pos_labels.shape[-1]), 0)
-        start = self.vocab_size + 1
-        dec_in = tokens.decoder_input(flat_labels, start)
-        logits = self.llm(flat_codes, dec_in, deterministic=not train)
-        target = tokens.decoder_target(flat_labels, self.vocab_size + 2,
-                                       scan_from=1)
-        target = jnp.where(pos_mask.reshape(-1, 1) > 0, target, 0)
-        captioning = losses.sum_cross_entropy(logits, target)
-
         loss_dict = {
             "mid_objectness": self.mid_obj_weight * mid_obj.mean(),
             "mid_box_reg": self.mid_reg_weight * mid_reg.mean(),
             "end_objectness": self.end_obj_weight * end_obj.mean(),
             "end_box_reg": self.end_reg_weight * end_reg.mean(),
-            "captioning": self.caption_weight * captioning,
         }
+
+        if self.with_captioning:
+            # captioning on all positives across the batch
+            flat_codes = pos_codes.reshape(-1, 1, 4096)
+            flat_labels = jnp.where(pos_mask.reshape(-1, 1) > 0,
+                                    pos_labels.reshape(
+                                        -1, pos_labels.shape[-1]), 0)
+            start = self.vocab_size + 1
+            dec_in = tokens.decoder_input(flat_labels, start)
+            logits = self.llm(flat_codes, dec_in, deterministic=not train)
+            target = tokens.decoder_target(flat_labels, self.vocab_size + 2,
+                                           scan_from=1)
+            target = jnp.where(pos_mask.reshape(-1, 1) > 0, target, 0)
+            loss_dict["captioning"] = (self.caption_weight *
+                                       losses.sum_cross_entropy(logits,
+                                                                target))
+
         loss_dict["total"] = sum(loss_dict.values())
+        # RegularizeLayer side-channel: 0.5·w·‖trans‖² recorded but NOT
+        # summed into the total — the reference computes box_decay_loss
+        # and then excludes it (RoiModel.py:238, RegularizeLayer.py:10-14).
+        loss_dict["box_decay"] = (0.5 * self.box_reg_decay *
+                                  jnp.sum(rpn.trans.astype(jnp.float32)**2))
         return loss_dict
 
     def forward_test(self, images, nms_thresh: float = 0.7,

@@ -33,6 +33,19 @@ def create_mesh(shape: Sequence[int] = (-1,),
     return Mesh(arr, tuple(axis_names))
 
 
+def mesh_for_batch(batch_size: int,
+                   shape: Sequence[int] = (-1,),
+                   axis_names: Sequence[str] = ("data",)) -> Mesh:
+    """Like `create_mesh` but caps the data axis at the largest device
+    count that divides `batch_size`, so small-batch runs (tests, smoke)
+    still jit with batch sharded on 'data'."""
+    devices = list(jax.devices())
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return create_mesh(shape, axis_names, devices=devices[:n])
+
+
 def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Batch leading axis sharded over the data axis of the mesh."""
     return NamedSharding(mesh, P(axis))

@@ -127,7 +127,26 @@ def build_rpn_model(cfg: DenseConfig, vocab_size: int,
         end_obj_weight=cfg.end_objectness_weight,
         end_reg_weight=cfg.end_box_reg_weight,
         caption_weight=cfg.captioning_weight,
+        box_reg_decay=cfg.box_reg_decay,
+        with_captioning=not cfg.roi_only,
         compute_dtype=dtype)
+
+
+def setup(cfg: DenseConfig, vocab_size: int, seq_length: int,
+          state_template=None):
+    """The reference's `SetupModule.setup(opt)` (DenseCap/models.py:10-42):
+    build DenseCapModel / RoiModel / GT model from scratch, or restore
+    the checkpoint named by `checkpoint_start_from` into
+    `state_template`. Returns (model, restored_state_or_None)."""
+    if cfg.model_type == "gt":
+        model = build_gt_model(cfg, vocab_size, seq_length)
+    else:
+        model = build_rpn_model(cfg, vocab_size, seq_length)
+    state = None
+    if cfg.checkpoint_start_from and state_template is not None:
+        state, _ = ckptlib.restore_checkpoint(cfg.checkpoint_start_from,
+                                              state_template)
+    return model, state
 
 
 def _endless_batches(loader, cfg: DenseConfig):
@@ -166,6 +185,9 @@ def train_gt(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
              synthetic_image_size: int = 64,
              verbose: bool = True) -> Dict:
     """The traingt.py loop. Returns a summary with histories + state."""
+    if cfg.debug_nans:
+        from imagecaptioning_tpu.utils.profiling import enable_nan_debugging
+        enable_nan_debugging()
     loss_file, result_file, save_path = name_gt_model(cfg)
     loader = make_vg_loader(cfg, synthetic_fallback, synthetic_images,
                             synthetic_image_size)
@@ -193,8 +215,17 @@ def train_gt(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
                        variables.get("batch_stats", {}),
                        jax.random.PRNGKey(cfg.seed + 1))
 
+    # Data-parallel over the mesh: batch dims sharded on 'data', state
+    # replicated; XLA inserts the gradient all-reduce over ICI.
+    from imagecaptioning_tpu.parallel import mesh as meshlib
+    device_mesh = meshlib.mesh_for_batch(cfg.batch_size, cfg.mesh_shape,
+                                         cfg.mesh_axis_names)
+    data_shard = meshlib.data_sharding(device_mesh)
+    repl = meshlib.replicated(device_mesh)
     train_step = jax.jit(
         make_gt_train_step(model, tx, cfg.use_curriculum_learning, dtype),
+        in_shardings=(None, data_shard, data_shard, data_shard,
+                      data_shard, repl),
         donate_argnums=(0,))
 
     loss_hist = LossHistory(loss_file, resume=cfg.from_checkpoint)
@@ -344,7 +375,13 @@ def train_rpn(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
                        tx.init(variables["params"]),
                        variables.get("batch_stats", {}),
                        jax.random.PRNGKey(cfg.seed + 1))
+    from imagecaptioning_tpu.parallel import mesh as meshlib
+    device_mesh = meshlib.mesh_for_batch(cfg.batch_size, cfg.mesh_shape,
+                                         cfg.mesh_axis_names)
+    data_shard = meshlib.data_sharding(device_mesh)
     train_step = jax.jit(make_rpn_train_step(model, tx, dtype),
+                         in_shardings=(None, data_shard, data_shard,
+                                       data_shard, data_shard),
                          donate_argnums=(0,))
 
     loss_hist = LossHistory(cfg.loss_file, resume=False)

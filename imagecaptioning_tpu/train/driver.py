@@ -67,6 +67,9 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
           synthetic_images: int = 64,
           verbose: bool = True) -> Dict:
     """Run training per config; returns summary dict with histories."""
+    if cfg.debug_nans:
+        from imagecaptioning_tpu.utils.profiling import enable_nan_debugging
+        enable_nan_debugging()
     loss_file, result_file, save_path = name_model(cfg)
 
     loader = make_loader(cfg, synthetic_fallback, synthetic_images)
@@ -81,6 +84,13 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
     finetune_start = cfg.finetuning_after_nepoch * iters_per_epoch
 
     model = build_model(cfg, vocab_size, seq_length)
+    # Frozen-CNN phase as the reference runs it (requires_grad_(False),
+    # train_LSTM.py:48-54): a second step function with gradients stopped
+    # at the encoder output — no conv backward compiled — used until the
+    # finetune boundary. Same params/forward; only the grad graph differs.
+    frozen_model = (build_model(cfg, vocab_size, seq_length,
+                                freeze_encoder=True)
+                    if cfg.finetune_cnn and finetune_start > 0 else None)
     tx = optim.make_optimizer(cfg, max_iter, finetune_start)
 
     sample_imgs, sample_gt = next(loader.epoch_batches(0, bs))
@@ -91,8 +101,12 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
                                           jnp.asarray(sample_gt), cfg.seed)
 
     device_mesh = meshlib.create_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
-    train_step = steplib.make_train_step(model, tx, preprocess=preprocess)
-    train_step = steplib.shard_train_step(train_step, device_mesh)
+    train_step = steplib.shard_train_step(
+        steplib.make_train_step(model, tx, preprocess=preprocess),
+        device_mesh)
+    frozen_step = (steplib.shard_train_step(
+        steplib.make_train_step(frozen_model, tx, preprocess=preprocess),
+        device_mesh) if frozen_model is not None else None)
     eval_loss = jax.jit(steplib.make_eval_step(model))
 
     loss_hist = LossHistory(loss_file, resume=cfg.from_checkpoint)
@@ -104,6 +118,12 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
         if verbose:
             print(f"resumed from {save_path} at iter {start_iter}")
 
+    def eval_vars(state):
+        v = {"params": state.params}
+        if state.batch_stats:            # BN backbones need running stats
+            v["batch_stats"] = state.batch_stats
+        return v
+
     batches = prefetch_batches(_batch_iterator(loader, cfg, bs), size=2)
     data_sharding = meshlib.data_sharding(device_mesh)
     put = partial(jax.device_put, device=data_sharding)
@@ -114,8 +134,10 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
         if it >= max_iter:
             break
         t0 = time.perf_counter()
-        state, metrics = train_step(state, put(jnp.asarray(images_u8)),
-                                    put(jnp.asarray(labels)))
+        step_fn = (frozen_step if (frozen_step is not None
+                                   and it < finetune_start) else train_step)
+        state, metrics = step_fn(state, put(jnp.asarray(images_u8)),
+                                 put(jnp.asarray(labels)))
         last_loss = float(metrics["loss"])   # device sync = step boundary
         step_ms = (time.perf_counter() - t0) * 1000.0
         it += 1
@@ -129,7 +151,7 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
 
         if it % eval_every == 0 or it == max_iter:
             results = eval_split(
-                model, {"params": state.params}, loader, split=1,
+                model, eval_vars(state), loader, split=1,
                 batch_size=cfg.eval_val_batch_size,
                 preprocess=preprocess,
                 eval_loss_fn=lambda v, x, g: eval_loss(state, x, g))
@@ -144,12 +166,12 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
     final = {}
     if loader.split_ix[2]:
         final["greedy"] = eval_split(
-            model, {"params": state.params}, loader, split=2,
+            model, eval_vars(state), loader, split=2,
             batch_size=cfg.eval_val_batch_size, preprocess=preprocess)
         if cfg.use_beam:
             for k in range(1, 6):
                 final[f"beam_{k}"] = eval_split(
-                    model, {"params": state.params}, loader, split=2,
+                    model, eval_vars(state), loader, split=2,
                     batch_size=cfg.eval_val_batch_size,
                     preprocess=preprocess, use_beam=True, beam_size=k)
     return {
