@@ -118,6 +118,11 @@ class VGDataLoader:
         assert split_val in (0, 1, 2)
         self.iterators[split_val] = 0
 
+    def decodeSequence(self, seq):
+        """Reference API alias (DataLoader.py:92-105): int matrix →
+        list of caption strings."""
+        return self.vocab.decode_sequence(np.asarray(seq))
+
     def region_slab(self, ix: int):
         """(boxes (R,4), labels (R,T)) for image `ix` — the 1-indexed slab
         read `labels[r0-1:r1]` (DataLoader.py:148-151)."""

@@ -239,8 +239,14 @@ def train_gt(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
 
     it = start_iter
     last_loss = float("nan")
+    sig = ckptlib.SignalCheckpointer()
+    sig.__enter__()
     for batch in batches:
         if it >= max_iter:
+            break
+        if sig.save_if_requested(save_path + ".preempt", state):
+            if verbose:
+                print(f"preemption checkpoint written at iter {it}")
             break
         tp = teacher_prob_schedule(it)
         t0 = time.perf_counter()
@@ -271,6 +277,7 @@ def train_gt(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
             if is_best:
                 ckptlib.save_checkpoint(save_path, state)
 
+    sig.__exit__()
     return {
         "iters": it,
         "final_loss": last_loss,

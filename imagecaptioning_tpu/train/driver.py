@@ -130,8 +130,14 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
 
     it = start_iter
     last_loss = float("nan")
+    sig = ckptlib.SignalCheckpointer()
+    sig.__enter__()
     for images_u8, labels in batches:
         if it >= max_iter:
+            break
+        if sig.save_if_requested(save_path + ".preempt", state):
+            if verbose:
+                print(f"preemption checkpoint written at iter {it}")
             break
         t0 = time.perf_counter()
         step_fn = (frozen_step if (frozen_step is not None
@@ -162,6 +168,7 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
             if is_best:
                 ckptlib.save_checkpoint(save_path, state)
 
+    sig.__exit__()
     # Final test-split eval; beam sweep 1-5 like the reference drivers.
     final = {}
     if loader.split_ix[2]:

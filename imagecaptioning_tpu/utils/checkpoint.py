@@ -50,6 +50,47 @@ def restore_checkpoint(path: str, state_template, extra_template=None):
     return state, None
 
 
+class SignalCheckpointer:
+    """Preemption-safe checkpointing (SURVEY §5 'checkpoint-on-signal'):
+    installs SIGTERM/SIGINT handlers that set a flag; the training loop
+    checks `requested` at each step boundary and writes a full-state
+    checkpoint before exiting. The reference has no failure handling —
+    a crash means rerunning with `from_checkpoint=True` and replaying
+    iterations (`traingt.py:42-51`)."""
+
+    def __init__(self, signals=None):
+        import signal as _signal
+        self._signal = _signal
+        self.requested = False
+        self._prev = {}
+        self.signals = signals or (_signal.SIGTERM, _signal.SIGINT)
+
+    def _handler(self, signum, frame):
+        self.requested = True
+
+    def __enter__(self):
+        for s in self.signals:
+            try:
+                self._prev[s] = self._signal.signal(s, self._handler)
+            except (ValueError, OSError):   # non-main thread
+                pass
+        return self
+
+    def __exit__(self, *exc):
+        for s, prev in self._prev.items():
+            try:
+                self._signal.signal(s, prev)
+            except (ValueError, OSError):
+                pass
+        return False
+
+    def save_if_requested(self, path: str, state,
+                          extra: Optional[Dict] = None) -> bool:
+        if self.requested:
+            save_checkpoint(path, state, extra)
+        return self.requested
+
+
 def state_as_dict(state) -> Dict[str, Any]:
     """TrainState (NamedTuple) ↔ plain dict for stable serialization."""
     if hasattr(state, "_asdict"):

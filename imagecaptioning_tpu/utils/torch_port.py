@@ -193,6 +193,152 @@ def convert_vit(sd: Mapping, num_layers: int = 12, num_heads: int = 12,
     return {"params": params}
 
 
+# ------------------------------------------------- reverse (flax → torch)
+
+def _flat(tree: Mapping, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        key = f"{prefix}.{k}" if prefix else str(k)
+        if isinstance(v, Mapping):
+            out.update(_flat(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def export_conv(block: Mapping, prefix: str) -> Dict:
+    out = {f"{prefix}.weight": np.asarray(block["kernel"])
+           .transpose(3, 2, 0, 1)}
+    if "bias" in block:
+        out[f"{prefix}.bias"] = np.asarray(block["bias"])
+    return out
+
+
+def export_linear(block: Mapping, prefix: str) -> Dict:
+    out = {f"{prefix}.weight": np.asarray(block["kernel"]).T}
+    if "bias" in block:
+        out[f"{prefix}.bias"] = np.asarray(block["bias"])
+    return out
+
+
+def export_bn(params: Mapping, stats: Mapping, prefix: str) -> Dict:
+    return {f"{prefix}.weight": np.asarray(params["scale"]),
+            f"{prefix}.bias": np.asarray(params["bias"]),
+            f"{prefix}.running_mean": np.asarray(stats["mean"]),
+            f"{prefix}.running_var": np.asarray(stats["var"])}
+
+
+def export_resnet(variables: Mapping, depth: int = 101) -> Dict:
+    """ResNetFeatures variables → torchvision resnet{depth} state_dict
+    (tensor layout; no fc.* — the reference drops the classifier). The
+    exact inverse of `convert_resnet`, so checkpoints round-trip."""
+    params, stats = variables["params"], variables["batch_stats"]
+    sd: Dict = {}
+    sd.update(export_conv(params["conv1"], "conv1"))
+    sd.update(export_bn(params["bn1"], stats["bn1"], "bn1"))
+    for stage, blocks in enumerate(_RESNET_STAGES[depth]):
+        for b in range(blocks):
+            t = f"layer{stage + 1}.{b}"
+            name = f"layer{stage + 1}_{b}"
+            bp, bs = params[name], stats[name]
+            for i in (1, 2, 3):
+                sd.update(export_conv(bp[f"conv{i}"], f"{t}.conv{i}"))
+                sd.update(export_bn(bp[f"bn{i}"], bs[f"bn{i}"], f"{t}.bn{i}"))
+            if "downsample_conv" in bp:
+                sd.update(export_conv(bp["downsample_conv"],
+                                      f"{t}.downsample.0"))
+                sd.update(export_bn(bp["downsample_bn"],
+                                    bs["downsample_bn"],
+                                    f"{t}.downsample.1"))
+    return sd
+
+
+def export_vgg_features(variables: Mapping, prefix: str = "features") -> Dict:
+    params = variables["params"]
+    sd: Dict = {}
+    conv_idx = _vgg_conv_indices()
+    k = 0
+    for stage, chans in enumerate(VGG16_STAGES):
+        for i in range(len(chans)):
+            sd.update(export_conv(params[f"conv{stage + 1}_{i + 1}"],
+                                  f"{prefix}.{conv_idx[k]}"))
+            k += 1
+    return sd
+
+
+def export_vgg_classifier(variables: Mapping,
+                          prefix: str = "classifier") -> Dict:
+    params = variables["params"]
+    fc6 = dict(params["fc6"])
+    w = np.asarray(fc6["kernel"])           # (25088 HWC, 4096)
+    fc6["kernel"] = (w.reshape(7, 7, 512, -1).transpose(2, 0, 1, 3)
+                     .reshape(25088, -1))   # back to CHW flattening
+    sd = export_linear(fc6, f"{prefix}.0")
+    sd.update(export_linear(params["fc7"], f"{prefix}.3"))
+    return sd
+
+
+def export_vit(variables: Mapping, num_layers: int = 12,
+               num_heads: int = 12, hidden: int = 768) -> Dict:
+    """ViTEncoder params → torchvision vit_b_16 state_dict; inverse of
+    `convert_vit`."""
+    p = variables["params"]
+    sd: Dict = {}
+    sd.update(export_conv(p["conv_proj"], "conv_proj"))
+    sd["class_token"] = np.asarray(p["class_token"])
+    sd["encoder.pos_embedding"] = np.asarray(p["pos_embedding"])
+    sd["encoder.ln.weight"] = np.asarray(p["ln"]["scale"])
+    sd["encoder.ln.bias"] = np.asarray(p["ln"]["bias"])
+    for i in range(num_layers):
+        t = f"encoder.layers.encoder_layer_{i}"
+        lp = p[f"encoder_layer_{i}"]
+        attn = lp["self_attention"]
+
+        def unhead(blk):
+            w = np.asarray(blk["kernel"]).reshape(hidden, hidden).T
+            b = np.asarray(blk["bias"]).reshape(hidden)
+            return w, b
+        qw, qb = unhead(attn["query"])
+        kw, kb = unhead(attn["key"])
+        vw, vb = unhead(attn["value"])
+        sd[f"{t}.self_attention.in_proj_weight"] = np.concatenate(
+            [qw, kw, vw], axis=0)
+        sd[f"{t}.self_attention.in_proj_bias"] = np.concatenate(
+            [qb, kb, vb], axis=0)
+        ow = np.asarray(attn["out"]["kernel"]).reshape(hidden, hidden).T
+        sd[f"{t}.self_attention.out_proj.weight"] = ow
+        sd[f"{t}.self_attention.out_proj.bias"] = np.asarray(
+            attn["out"]["bias"])
+        sd[f"{t}.ln_1.weight"] = np.asarray(lp["ln_1"]["scale"])
+        sd[f"{t}.ln_1.bias"] = np.asarray(lp["ln_1"]["bias"])
+        sd[f"{t}.ln_2.weight"] = np.asarray(lp["ln_2"]["scale"])
+        sd[f"{t}.ln_2.bias"] = np.asarray(lp["ln_2"]["bias"])
+        sd.update(export_linear(lp["mlp_0"], f"{t}.mlp.0"))
+        sd.update(export_linear(lp["mlp_3"], f"{t}.mlp.3"))
+    return sd
+
+
+def export_lstm(params: Mapping, prefix: str, num_layers: int = 1) -> Dict:
+    sd: Dict = {}
+    for l in range(num_layers):
+        sd[f"{prefix}.weight_ih_l{l}"] = np.asarray(params[f"w_ih_l{l}"])
+        sd[f"{prefix}.weight_hh_l{l}"] = np.asarray(params[f"w_hh_l{l}"])
+        sd[f"{prefix}.bias_ih_l{l}"] = np.asarray(params[f"b_ih_l{l}"])
+        sd[f"{prefix}.bias_hh_l{l}"] = np.asarray(params[f"b_hh_l{l}"])
+    return sd
+
+
+def save_state_dict(path: str, sd: Mapping) -> None:
+    """Write a flat tensor dict as torch .pth (if torch importable) or
+    numpy .npz."""
+    if path.endswith(".npz"):
+        np.savez(path, **{k: np.asarray(v) for k, v in sd.items()})
+        return
+    import torch
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(np.asarray(v)))
+                for k, v in sd.items()}, path)
+
+
 def load_state_dict(path: str) -> Dict:
     """Load a checkpoint as a flat name→ndarray dict. Supports torch .pth
     (requires torch) and numpy .npz re-exports."""
