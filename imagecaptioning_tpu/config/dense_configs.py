@@ -108,6 +108,7 @@ class DenseConfig:
     eval_batch_size: int = 2
     debug_nans: bool = False
     profile_dir: str = ""        # jax.profiler trace dir ('' = off)
+    vgg_stages: int = 5          # VGG trunk depth (5 = full; tests shrink)
 
     def replace(self, **kw) -> "DenseConfig":
         return replace(self, **kw)

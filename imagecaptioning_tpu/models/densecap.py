@@ -69,10 +69,12 @@ class GTDenseCaptioner(nn.Module):
     heads: int = 4
     dropout: float = 0.0
     roi_size: Tuple[int, int] = (7, 7)
+    vgg_stages: int = 5           # trunk depth (5 = full VGG16; tests shrink)
     compute_dtype: Any = jnp.float32
 
     def setup(self):
         self.features = VGGFeatures(include_final_pool=True,
+                                    end_stage=self.vgg_stages,
                                     dtype=self.compute_dtype)
         self.classifier = VGGClassifierHead(dtype=self.compute_dtype)
         if self.use_lstm:
@@ -245,6 +247,7 @@ class DenseCapRPN(nn.Module):
     end_reg_weight: float = 0.1
     caption_weight: float = 1.0
     box_reg_decay: float = 5e-5
+    vgg_stages: int = 5           # trunk depth (5 = full VGG16; tests shrink)
     # False = the reference's detection-only RoiModel (RoiModel.py:198-239):
     # no caption head, 4-term total.
     with_captioning: bool = True
@@ -252,6 +255,7 @@ class DenseCapRPN(nn.Module):
 
     def setup(self):
         self.conv_trunk = VGGFeatures(include_final_pool=False,
+                                      end_stage=self.vgg_stages,
                                       dtype=self.compute_dtype)
         k = default_anchors().shape[0]
         self.rpn_conv = nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)),
@@ -277,8 +281,8 @@ class DenseCapRPN(nn.Module):
         scores = self.rpn_scores(x)                      # (N, Hf, Wf, k)
         trans = self.rpn_trans(x)                        # (N, Hf, Wf, 4k)
         k = scores.shape[-1]
-        # VGG16 trunk without final pool: 4 maxpools → stride 16
-        x0, y0, sx, sy = boxlib.field_centers(4)
+        # trunk without final pool: (stages-1) maxpools → stride 2^(s-1)
+        x0, y0, sx, sy = boxlib.field_centers(self.vgg_stages - 1)
         anchors = boxlib.make_anchors(jnp.asarray(default_anchors()),
                                       x0, y0, sx, sy, hf, wf)
         anchors = jnp.transpose(anchors, (1, 2, 0, 3)).reshape(-1, 4)

@@ -43,7 +43,8 @@ from imagecaptioning_tpu.utils.io import LossHistory, ResultsHistory
 
 def make_vg_loader(cfg: DenseConfig, synthetic_fallback: bool = True,
                    synthetic_images: int = 8,
-                   image_size: int = 64) -> VGDataLoader:
+                   image_size: int = 64,
+                   synthetic_seq_length: int = 8) -> VGDataLoader:
     if os.path.exists(cfg.data_h5) and os.path.exists(cfg.data_json):
         return VGDataLoader(data_h5=cfg.data_h5, data_json=cfg.data_json,
                             seed=cfg.seed,
@@ -52,6 +53,7 @@ def make_vg_loader(cfg: DenseConfig, synthetic_fallback: bool = True,
         raise FileNotFoundError(cfg.data_h5)
     arrays, info = synthetic.make_vg_arrays(num_images=synthetic_images,
                                             image_size=image_size,
+                                            seq_length=synthetic_seq_length,
                                             seed=cfg.seed)
     return VGDataLoader(arrays=arrays, info=info, seed=cfg.seed)
 
@@ -110,6 +112,7 @@ def build_gt_model(cfg: DenseConfig, vocab_size: int,
         use_lstm=cfg.use_lstm, embedding_size=cfg.input_encoding_size,
         rnn_size=cfg.rnn_size, num_lstm_layers=cfg.num_layers,
         dropout=cfg.drop_value if cfg.use_dropout else 0.0,
+        vgg_stages=cfg.vgg_stages,
         compute_dtype=dtype)
 
 
@@ -129,6 +132,7 @@ def build_rpn_model(cfg: DenseConfig, vocab_size: int,
         caption_weight=cfg.captioning_weight,
         box_reg_decay=cfg.box_reg_decay,
         with_captioning=not cfg.roi_only,
+        vgg_stages=cfg.vgg_stages,
         compute_dtype=dtype)
 
 

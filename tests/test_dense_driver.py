@@ -45,7 +45,7 @@ def _tiny_gt_cfg(tmp_path, **kw):
         result_file=str(tmp_path / "logs/results_gt.json"),
         batch_size=2, max_regions=3, rnn_size=32,
         input_encoding_size=32, compute_dtype="float32",
-        eval_batch_size=2, loss_log_pad=1, **kw)
+        eval_batch_size=2, loss_log_pad=1, vgg_stages=2, **kw)
 
 
 @pytest.mark.parametrize("use_lstm,curriculum", [(True, True),
@@ -77,7 +77,7 @@ def test_train_rpn_smoke(tmp_path):
         batch_size=2, max_regions=3, rnn_size=32,
         input_encoding_size=32, compute_dtype="float32",
         sampler_batch_size=16, test_num_proposals=20,
-        losses_log_every=1)
+        losses_log_every=1, vgg_stages=3)
     out = dense_driver.train_rpn(cfg, max_iter_override=2,
                                  eval_every_override=2,
                                  synthetic_images=6,

@@ -35,7 +35,7 @@ def test_roi_only_model_four_losses():
     cfg = get_densecap_config().replace(
         roi_only=True, sampler_batch_size=8, test_num_proposals=10,
         rnn_size=16, input_encoding_size=16, compute_dtype="float32",
-        max_regions=2)
+        max_regions=2, vgg_stages=3)
     model = dense_driver.build_rpn_model(cfg, loader.getVocabSize(),
                                          loader.getSeqLength())
     assert not model.with_captioning

@@ -58,3 +58,21 @@ def test_densecap_draw(tmp_path):
     assert out.shape == img.shape
     assert os.path.exists(out_path)
     assert (out != img).any()          # something was drawn
+
+
+def test_display_loss_history(tmp_path):
+    hist = [{"iter": i * 10, "loss": 3.0 - 0.1 * i,
+             "epoch time in ms": 5.0} for i in range(10)]
+    p = visualize.display_loss_history(hist, str(tmp_path / "loss.png"))
+    assert os.path.exists(p)
+
+
+def test_io_helpers():
+    from imagecaptioning_tpu.utils.io import (average_values,
+                                              build_loss_string,
+                                              dict_average)
+    avg = dict_average([{"a": 1.0, "b": 2.0}, {"a": 3.0}])
+    assert avg == {"a": 2.0, "b": 2.0}
+    assert average_values({"x": 1.0, "y": 3.0}) == 2.0
+    s = build_loss_string({"obj": 0.5, "total": 1.25})
+    assert s == "obj: 0.50000, total_loss: 1.25000"
