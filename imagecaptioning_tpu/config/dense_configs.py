@@ -109,6 +109,7 @@ class DenseConfig:
     debug_nans: bool = False
     profile_dir: str = ""        # jax.profiler trace dir ('' = off)
     vgg_stages: int = 5          # VGG trunk depth (5 = full; tests shrink)
+    use_pallas_roi: bool = False  # explicit Pallas ROI kernel (GT path, TPU)
 
     def replace(self, **kw) -> "DenseConfig":
         return replace(self, **kw)

@@ -46,7 +46,8 @@ from imagecaptioning_tpu.ops import boxes as boxlib
 from imagecaptioning_tpu.ops import losses, tokens
 from imagecaptioning_tpu.ops.box_sampler import sample_boxes
 from imagecaptioning_tpu.ops.nms import nms
-from imagecaptioning_tpu.ops.roi_align import roi_align
+from imagecaptioning_tpu.ops.roi_align import (roi_align,
+                                               roi_align_batch_pallas)
 from imagecaptioning_tpu.ops.transformer import Decoder, Encoder, make_trg_mask
 
 
@@ -70,6 +71,7 @@ class GTDenseCaptioner(nn.Module):
     dropout: float = 0.0
     roi_size: Tuple[int, int] = (7, 7)
     vgg_stages: int = 5           # trunk depth (5 = full VGG16; tests shrink)
+    use_pallas_roi: bool = False  # explicit Pallas ROI kernel (TPU path)
     compute_dtype: Any = jnp.float32
 
     def setup(self):
@@ -108,9 +110,14 @@ class GTDenseCaptioner(nn.Module):
         feats = self.features(images, train=False)       # (N, Hf, Wf, 512)
         n, hf, wf, c = feats.shape
         ih, iw = images.shape[1], images.shape[2]
-        pooled = jax.vmap(
-            lambda f, bx: roi_align(f, bx, (float(ih), float(iw)),
-                                    self.roi_size))(feats, gt_boxes)
+        if self.use_pallas_roi:
+            pooled = roi_align_batch_pallas(
+                feats.astype(jnp.float32), gt_boxes,
+                (float(ih), float(iw)), self.roi_size)
+        else:
+            pooled = jax.vmap(
+                lambda f, bx: roi_align(f, bx, (float(ih), float(iw)),
+                                        self.roi_size))(feats, gt_boxes)
         flat = pooled.reshape(n, gt_boxes.shape[1], -1)  # HWC-flattened
         codes = self.classifier(flat, deterministic=not train)
         return codes.astype(jnp.float32)

@@ -89,12 +89,9 @@ def roi_align(features: jnp.ndarray, boxes: jnp.ndarray,
 
 # ------------------------------------------------------- Pallas kernel
 
-def _roi_kernel(ry_ref, cx_ref, f_ref, out_ref):
-    """One box per grid step: out = Ry @ F_2d @ Cx^T reshaped.
-    f_ref: (Hf, Wf*C) viewed as (Hf, Wf, C) row-major."""
-    ry = ry_ref[0]                       # (oh, Hf)
-    cx = cx_ref[0]                       # (ow, Wf)
-    f2 = f_ref[:]                        # (Hf, Wf*C)
+def _roi_core(ry, cx, f2, out_ref):
+    """One box: out = Ry @ F_2d @ Cx^T reshaped. ry (oh, Hf),
+    cx (ow, Wf), f2 (Hf, Wf*C) viewed as (Hf, Wf, C) row-major."""
     oh, ow = ry.shape[0], cx.shape[0]
     hf, wfc = f2.shape
     wf = cx.shape[1]
@@ -108,6 +105,10 @@ def _roi_kernel(ry_ref, cx_ref, f_ref, out_ref):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)      # (ow, oh, C)
     out_ref[0] = jnp.swapaxes(out, 0, 1).reshape(oh, ow * c)
+
+
+def _roi_kernel(ry_ref, cx_ref, f_ref, out_ref):
+    _roi_core(ry_ref[0], cx_ref[0], f_ref[:], out_ref)
 
 
 def roi_align_pallas_fwd(features: jnp.ndarray, boxes: jnp.ndarray,
@@ -171,3 +172,71 @@ def roi_align_batch(features: jnp.ndarray, boxes: jnp.ndarray,
     boxes (N, B, 4) → (N, B, oh, ow, C)."""
     return jax.vmap(lambda f, bx: roi_align(f, bx, image_hw, out_hw))(
         features, boxes)
+
+
+def roi_align_batch_pallas_fwd(features: jnp.ndarray, boxes: jnp.ndarray,
+                               image_hw: Tuple[float, float],
+                               out_hw: Tuple[int, int] = (7, 7),
+                               interpret: bool = False) -> jnp.ndarray:
+    """Multi-image Pallas forward: features (N, Hf, Wf, C), boxes
+    (N, R, 4) → (N, R, oh, ow, C). One grid step per (image, box): the
+    grid index maps each step's feature block to its image — no vmap
+    batching rule needed, and each box's two `pl.dot`s hit the MXU with
+    its image's map already resident in VMEM."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, hf, wf, c = features.shape
+    r = boxes.shape[1]
+    oh, ow = out_hw
+    ry, cx = jax.vmap(
+        lambda bx: roi_weights(bx, image_hw, (hf, wf), out_hw))(boxes)
+    ry = ry.reshape(n * r, oh, hf)
+    cx = cx.reshape(n * r, ow, wf)
+    f2 = features.astype(jnp.float32).reshape(n, hf, wf * c)
+
+    def kernel(ry_ref, cx_ref, f_ref, out_ref):
+        _roi_core(ry_ref[0], cx_ref[0], f_ref[0], out_ref)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n * r,),
+        in_specs=[
+            pl.BlockSpec((1, oh, hf), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ow, wf), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hf, wf * c), lambda i: (i // r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, oh, ow * c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n * r, oh, ow * c), jnp.float32),
+        interpret=interpret,
+    )(ry, cx, f2)
+    return out.reshape(n, r, oh, ow, c)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def roi_align_batch_pallas(features, boxes, image_hw, out_hw=(7, 7)):
+    """Differentiable batched Pallas ROI pooling (einsum backward)."""
+    return roi_align_batch_pallas_fwd(features, boxes, image_hw, out_hw)
+
+
+def _bfwd(features, boxes, image_hw, out_hw):
+    return (roi_align_batch_pallas_fwd(features, boxes, image_hw, out_hw),
+            (features, boxes))
+
+
+def _bbwd(image_hw, out_hw, res, g):
+    features, boxes = res
+    n, hf, wf, c = features.shape
+    ry, cx = jax.vmap(
+        lambda bx: roi_weights(bx, image_hw, (hf, wf), out_hw))(boxes)
+    g = g.astype(jnp.float32)                       # (N, R, oh, ow, C)
+    tmp = jnp.einsum("nryxc,nrxw->nrywc", g, cx)
+    d_features = jnp.einsum("nryh,nrywc->nhwc", ry, tmp)
+    return d_features.astype(features.dtype), jnp.zeros_like(boxes)
+
+
+roi_align_batch_pallas.defvjp(_bfwd, _bbwd)

@@ -113,6 +113,7 @@ def build_gt_model(cfg: DenseConfig, vocab_size: int,
         rnn_size=cfg.rnn_size, num_lstm_layers=cfg.num_layers,
         dropout=cfg.drop_value if cfg.use_dropout else 0.0,
         vgg_stages=cfg.vgg_stages,
+        use_pallas_roi=cfg.use_pallas_roi,
         compute_dtype=dtype)
 
 
@@ -324,8 +325,6 @@ def eval_split_rpn(model: DenseCapRPN, variables, loader, *,
     """The `DenseCap/eval/eval_utils.eval_split` protocol over our RPN
     model: forward_test detections + greedy captions per image, full
     DenseCap mAP."""
-    from imagecaptioning_tpu.models import api  # noqa: F401  (parity)
-
     seq_len = loader.getSeqLength()
 
     @jax.jit
