@@ -148,3 +148,39 @@ def test_captioning_model_facade(batch):
     m.beam_size = 2
     caps_b, _ = m.forward_test(images)
     assert len(caps_b) == B
+
+
+@pytest.mark.parametrize("name", ["lstm", "attention", "transformer",
+                                  "vitb"])
+def test_cached_decode_matches_teacher_forced(name, batch):
+    """Step-by-step decode (LSTM carry / transformer KV cache) must
+    reproduce the teacher-forced forward logits when fed the same
+    tokens — the seam between training and serving."""
+    from imagecaptioning_tpu.ops import tokens as toklib
+
+    images, gt = batch
+    model = _make(name)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng}, images, gt,
+                           train=False)
+    out = model.apply(variables, images, gt, train=False)
+    tf_logits = np.asarray(out.logits)          # (B, T+1, V+3)
+
+    params = variables["params"]
+    feats = model.apply(variables, images, method=model.encode)
+    init_carry, step = api.make_step_fn(model, params)
+    carry = init_carry(feats, T + 1)
+    dec_in = np.asarray(toklib.decoder_input(gt, V + 1))
+    # Compare only positions with a non-NULL input token: captions are
+    # front-packed, so the teacher-forced key-padding mask
+    # (make_trg_mask) only ever differs from the cached path at NULL
+    # padding positions — whose outputs are loss-masked in training and
+    # unreachable in decode (generation stops at END before any NULL).
+    for t in range(T + 1):
+        toks = jnp.asarray(dec_in[:, t:t + 1])
+        carry, logits, _ = step(carry, toks, jnp.array(t, jnp.int32))
+        valid = dec_in[:, t] > 0
+        if valid.any():
+            np.testing.assert_allclose(np.asarray(logits)[valid],
+                                       tf_logits[valid, t],
+                                       rtol=2e-4, atol=2e-4)
