@@ -236,11 +236,13 @@ def train_gt(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
     loss_hist = LossHistory(loss_file, resume=cfg.from_checkpoint)
     res_hist = ResultsHistory(result_file, resume=cfg.from_checkpoint)
     start_iter = 0
-    if cfg.from_checkpoint and os.path.isdir(save_path):
-        state, _ = ckptlib.restore_checkpoint(save_path, state)
+    resume_from = ckptlib.resume_path(save_path) if cfg.from_checkpoint \
+        else None
+    if resume_from:
+        state, _ = ckptlib.restore_checkpoint(resume_from, state)
         start_iter = int(state.step)
         if verbose:
-            print(f"resumed from {save_path} at iter {start_iter}")
+            print(f"resumed from {resume_from} at iter {start_iter}")
 
     it = start_iter
     last_loss = float("nan")

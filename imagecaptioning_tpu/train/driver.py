@@ -112,15 +112,18 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
     loss_hist = LossHistory(loss_file, resume=cfg.from_checkpoint)
     res_hist = ResultsHistory(result_file, resume=cfg.from_checkpoint)
     start_iter = 0
-    if cfg.from_checkpoint and os.path.isdir(save_path):
+    resume_from = ckptlib.resume_path(save_path) if cfg.from_checkpoint \
+        else None
+    if resume_from:
         state, extra = ckptlib.restore_checkpoint(
-            save_path, state, extra_template={"iterators": loader.iterators})
+            resume_from, state,
+            extra_template={"iterators": loader.iterators})
         if extra and "iterators" in extra:   # loader cursor travels too
             loader.iterators = {int(k): int(v)
                                 for k, v in extra["iterators"].items()}
         start_iter = int(state.step)
         if verbose:
-            print(f"resumed from {save_path} at iter {start_iter}")
+            print(f"resumed from {resume_from} at iter {start_iter}")
 
     def eval_vars(state):
         v = {"params": state.params}
@@ -139,7 +142,8 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
     for images_u8, labels in batches:
         if it >= max_iter:
             break
-        if sig.save_if_requested(save_path + ".preempt", state):
+        if sig.save_if_requested(save_path + ".preempt", state,
+                         extra={"iterators": dict(loader.iterators)}):
             if verbose:
                 print(f"preemption checkpoint written at iter {it}")
             break

@@ -37,17 +37,35 @@ def save_checkpoint(path: str, state, extra: Optional[Dict] = None) -> None:
 
 
 def restore_checkpoint(path: str, state_template, extra_template=None):
+    """Restore (state, extra). A checkpoint written without `extra`
+    (e.g. older files) restores its state and returns extra=None."""
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
     payload_t = {"state": state_as_dict(state_template)}
     if extra_template is not None:
-        payload_t["extra"] = extra_template
-    ckptr = ocp.StandardCheckpointer()
+        try:
+            restored = ckptr.restore(
+                path, target={**payload_t, "extra": extra_template})
+            return (state_from_dict(state_template, restored["state"]),
+                    restored.get("extra"))
+        except (ValueError, KeyError):
+            pass        # stored without extra — fall through
     restored = ckptr.restore(path, target=payload_t)
-    state = state_from_dict(state_template, restored["state"])
-    if extra_template is not None:
-        return state, restored.get("extra")
-    return state, None
+    return state_from_dict(state_template, restored["state"]), None
+
+
+def resume_path(save_path: str) -> Optional[str]:
+    """Pick the checkpoint to resume from: the preemption checkpoint
+    (`<save_path>.preempt`) when it is newer than the best-model
+    checkpoint, else the best-model checkpoint, else None."""
+    best = save_path if os.path.isdir(save_path) else None
+    pre = (save_path + ".preempt"
+           if os.path.isdir(save_path + ".preempt") else None)
+    if best and pre:
+        return pre if os.path.getmtime(pre) >= os.path.getmtime(best) \
+            else best
+    return pre or best
 
 
 def restore_params(path: str):

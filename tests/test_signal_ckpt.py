@@ -38,3 +38,15 @@ def test_handler_restored_on_exit():
     with ckptlib.SignalCheckpointer(signals=(signal.SIGUSR1,)):
         assert signal.getsignal(signal.SIGUSR1) != prev
     assert signal.getsignal(signal.SIGUSR1) == prev
+
+
+def test_resume_path_prefers_newer_preempt(tmp_path):
+    import time as _time
+    state = _tiny_state()
+    best = str(tmp_path / "best.ckpt")
+    ckptlib.save_checkpoint(best, state)
+    assert ckptlib.resume_path(best) == best
+    _time.sleep(0.05)
+    ckptlib.save_checkpoint(best + ".preempt", state)
+    assert ckptlib.resume_path(best) == best + ".preempt"
+    assert ckptlib.resume_path(str(tmp_path / "missing.ckpt")) is None
