@@ -255,6 +255,7 @@ class DenseCapRPN(nn.Module):
     caption_weight: float = 1.0
     box_reg_decay: float = 5e-5
     vgg_stages: int = 5           # trunk depth (5 = full VGG16; tests shrink)
+    use_pallas_roi: bool = False  # explicit Pallas ROI kernel (TPU path)
     # False = the reference's detection-only RoiModel (RoiModel.py:198-239):
     # no caption head, 4-term total.
     with_captioning: bool = True
@@ -303,11 +304,29 @@ class DenseCapRPN(nn.Module):
         flat = pooled.reshape(boxes.shape[0], -1)
         return self.recog_base(flat, deterministic=not train)
 
+    def _region_codes_batch(self, feats, boxes, image_hw, train):
+        """(N, Hf, Wf, C) × (N, R, 4) → (N, R, 4096): ROI pooling +
+        recognition base over ALL sampled regions at once — one large
+        MXU matmul per fc layer instead of N vmapped small ones."""
+        if self.use_pallas_roi:
+            pooled = roi_align_batch_pallas(feats.astype(jnp.float32),
+                                            boxes, image_hw, self.roi_size)
+        else:
+            pooled = jax.vmap(
+                lambda f, bx: roi_align(f, bx, image_hw,
+                                        self.roi_size))(feats, boxes)
+        n, r = boxes.shape[:2]
+        flat = pooled.reshape(n, r, -1)
+        return self.recog_base(flat, deterministic=not train)
+
     def __call__(self, images, gt_boxes, gt_mask, gt_labels,
                  rng: Optional[jax.Array] = None,
                  train: bool = True) -> Dict[str, jnp.ndarray]:
         """Training forward → loss dict. Batched over images; each image
-        samples num_pos/num_neg boxes with static shapes."""
+        samples num_pos/num_neg boxes with static shapes. Sampling and
+        the box losses run vmapped per image; ROI pooling and the
+        recognition/objectness/box-reg heads run as single batched ops
+        over all N·(pos+neg) regions."""
         ih, iw = images.shape[1], images.shape[2]
         image_hw = (float(ih), float(iw))
         feats = self.conv_trunk(images, train=False)
@@ -316,8 +335,7 @@ class DenseCapRPN(nn.Module):
         if rng is None:
             rng = self.make_rng("sampling")
 
-        def per_image(rng_i, feats_i, props, scores, trans, gt_b, gt_m,
-                      gt_l):
+        def sample_image(rng_i, props, scores, trans, gt_b, gt_m, gt_l):
             _, in_bounds = boxlib.clip_boxes(props, ih, iw)
             s = sample_boxes(rng_i, props, gt_b, gt_m,
                              self.num_pos, self.num_neg,
@@ -345,29 +363,32 @@ class DenseCapRPN(nn.Module):
             mid_reg = losses.box_regression_loss(
                 pos_trans, target_trans, valid_mask=s.pos_mask)
 
-            # ROI codes for sampled boxes (positives first)
             all_boxes = jnp.concatenate([pos_boxes,
                                          props[s.neg_idx]], axis=0)
-            codes = self._region_codes(feats_i, all_boxes, image_hw, train)
-            end_scores = self.objectness(codes)[:, 0]
-            end_obj = (jax.nn.softplus(
-                jnp.where(obj_targets > 0, -end_scores, end_scores))
-                * obj_w).sum() / jnp.maximum(obj_w.sum(), 1.0)
-
-            pos_codes = codes[:self.num_pos]
-            final_trans = self.box_reg(pos_codes.astype(jnp.float32))
-            target_trans2 = boxlib.invert_box_transform(pos_boxes,
-                                                        pos_target_boxes)
-            end_reg = losses.box_regression_loss(
-                final_trans, target_trans2, valid_mask=s.pos_mask)
-            return (mid_obj, mid_reg, end_obj, end_reg, pos_codes,
-                    pos_labels, s.pos_mask)
+            return (mid_obj, mid_reg, all_boxes, pos_boxes,
+                    pos_target_boxes, pos_labels, s.pos_mask,
+                    obj_targets, obj_w)
 
         rngs = jax.random.split(rng, n)
-        (mid_obj, mid_reg, end_obj, end_reg, pos_codes, pos_labels,
-         pos_mask) = jax.vmap(per_image)(
-            rngs, feats, rpn.proposals, rpn.scores, rpn.trans,
-            gt_boxes, gt_mask, gt_labels)
+        (mid_obj, mid_reg, all_boxes, pos_boxes, pos_target_boxes,
+         pos_labels, pos_mask, obj_targets, obj_w) = jax.vmap(
+            sample_image)(rngs, rpn.proposals, rpn.scores, rpn.trans,
+                          gt_boxes, gt_mask, gt_labels)
+
+        # region heads, batched over every sampled box in the batch
+        codes = self._region_codes_batch(feats, all_boxes, image_hw, train)
+        end_scores = self.objectness(codes)[..., 0]        # (N, P+Nn)
+        end_obj = (jax.nn.softplus(
+            jnp.where(obj_targets > 0, -end_scores, end_scores))
+            * obj_w).sum(axis=1) / jnp.maximum(obj_w.sum(axis=1), 1.0)
+
+        pos_codes = codes[:, :self.num_pos]
+        final_trans = self.box_reg(pos_codes.astype(jnp.float32))
+        target_trans2 = boxlib.invert_box_transform(pos_boxes,
+                                                    pos_target_boxes)
+        end_reg = jax.vmap(
+            lambda p, t, m: losses.box_regression_loss(p, t, valid_mask=m))(
+            final_trans, target_trans2, pos_mask)
 
         loss_dict = {
             "mid_objectness": self.mid_obj_weight * mid_obj.mean(),
@@ -410,13 +431,18 @@ class DenseCapRPN(nn.Module):
         feats = self.conv_trunk(images, train=False)
         rpn = self.rpn_forward(feats, image_hw)
 
-        def per_image(feats_i, props, scores):
+        def keep_proposals(props, scores):
             clipped, valid = boxlib.clip_boxes(props, ih, iw)
             idx, keep = nms(clipped, scores, nms_thresh,
                             self.test_proposals, valid=valid)
-            boxes_kept = clipped[idx]
-            codes = self._region_codes(feats_i, boxes_kept, image_hw,
-                                       train=False)
+            return clipped[idx], keep
+
+        boxes_kept, keep = jax.vmap(keep_proposals)(rpn.proposals,
+                                                    rpn.scores)
+        codes = self._region_codes_batch(feats, boxes_kept, image_hw,
+                                         train=False)
+
+        def per_image(boxes_kept, keep, codes):
             obj = self.objectness(codes)[:, 0]
             refined = boxlib.apply_box_transform(
                 boxes_kept, self.box_reg(codes.astype(jnp.float32)))
@@ -427,7 +453,7 @@ class DenseCapRPN(nn.Module):
             return (refined[fidx], obj[fidx], codes[fidx],
                     jnp.logical_and(fkeep, keep[fidx]))
 
-        return jax.vmap(per_image)(feats, rpn.proposals, rpn.scores)
+        return jax.vmap(per_image)(boxes_kept, keep, codes)
 
     def generate_captions(self, codes, greedy_steps: int):
         """Per-region greedy captions from region codes (N*R, 4096)."""

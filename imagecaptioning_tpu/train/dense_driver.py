@@ -134,6 +134,7 @@ def build_rpn_model(cfg: DenseConfig, vocab_size: int,
         box_reg_decay=cfg.box_reg_decay,
         with_captioning=not cfg.roi_only,
         vgg_stages=cfg.vgg_stages,
+        use_pallas_roi=cfg.use_pallas_roi,
         compute_dtype=dtype)
 
 
