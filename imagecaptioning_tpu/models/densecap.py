@@ -85,7 +85,8 @@ class GTDenseCaptioner(nn.Module):
                 embedding_size=self.embedding_size,
                 rnn_size=self.rnn_size,
                 num_layers=self.num_lstm_layers,
-                dropout=self.dropout)
+                dropout=self.dropout,
+                output_dropout=False)   # AlexDenseLangage.py:53-55
         else:
             self.fc = nn.Dense(self.embed_size)
             self.encoder = Encoder(

@@ -36,12 +36,20 @@ class LanguageHead(nn.Module):
     rnn_size: int
     num_layers: int = 1
     dropout: float = 0.0
+    # AlexCap appends a Dropout after the LSTM (LanguageModule.py:48);
+    # the GT variant instead passes dropout INTO nn.LSTM (inter-layer)
+    # with the output drop commented out (AlexDenseLangage.py:53-55).
+    output_dropout: bool = True
 
     def setup(self):
         self.image_encoder = nn.Dense(self.embedding_size)
         self.lookup_table = nn.Embed(self.vocab_size + 3, self.embedding_size)
-        self.lstm = LSTM(hidden_size=self.rnn_size, num_layers=self.num_layers)
-        self.out_drop = nn.Dropout(self.dropout)
+        # inter-layer LSTM dropout matters only for the multi-layer GT
+        # config (torch nn.LSTM semantics)
+        self.lstm = LSTM(hidden_size=self.rnn_size,
+                         num_layers=self.num_layers, dropout=self.dropout)
+        self.out_drop = nn.Dropout(
+            self.dropout if self.output_dropout else 0.0)
         self.linear = nn.Dense(self.vocab_size + 3)
 
     def _warm_state(self, image_vectors):
@@ -55,7 +63,7 @@ class LanguageHead(nn.Module):
         """Teacher-forced logits (B, T+1, V+3)."""
         state = self._warm_state(image_vectors)
         word_vecs = self.lookup_table(tokens_with_start)
-        out, _ = self.lstm(word_vecs, state)
+        out, _ = self.lstm(word_vecs, state, deterministic=deterministic)
         out = self.out_drop(out, deterministic=deterministic)
         return self.linear(out)
 

@@ -70,12 +70,24 @@ class LSTM(nn.Module):
             params.append((w_ih, w_hh, b_ih, b_hh))
             in_dim = self.hidden_size
 
-        drop = nn.Dropout(self.dropout)
-        drop_rngs = None
-        if not deterministic and self.dropout > 0 and self.num_layers > 1:
-            drop_rngs = self.make_rng("dropout")
+        # torch applies dropout to the output of every non-final layer,
+        # with an independent mask per timestep (relevant for the
+        # reference's 2-layer GT config, num_layers=2 drop0.5). Masks are
+        # drawn outside the scan and carried through as scan inputs.
+        t = xs.shape[1]
+        use_drop = (not deterministic and self.dropout > 0
+                    and self.num_layers > 1)
+        if use_drop:
+            keep = 1.0 - self.dropout
+            masks_t = jax.random.bernoulli(
+                self.make_rng("dropout"), keep,
+                (t, self.num_layers - 1, b, self.hidden_size)
+            ).astype(xs.dtype) / keep
+        else:
+            masks_t = jnp.ones((t, 0, b, self.hidden_size), xs.dtype)
 
-        def step(carry, x_t):
+        def step(carry, inp_t):
+            x_t, mask_t = inp_t
             hs, cs = carry
             new_h, new_c = [], []
             inp = x_t
@@ -85,15 +97,13 @@ class LSTM(nn.Module):
                 new_h.append(h)
                 new_c.append(c)
                 inp = h
+                if use_drop and layer < self.num_layers - 1:
+                    inp = inp * mask_t[layer]
             return (jnp.stack(new_h), jnp.stack(new_c)), inp
 
         xs_t = jnp.swapaxes(xs, 0, 1)  # (T, B, in)
-        (hT, cT), ys_t = jax.lax.scan(step, h0c0, xs_t)
+        (hT, cT), ys_t = jax.lax.scan(step, h0c0, (xs_t, masks_t))
         ys = jnp.swapaxes(ys_t, 0, 1)
-        # Inter-layer dropout is applied inside torch's fused kernel; for
-        # num_layers==1 (every reference config) it's a no-op, so we apply
-        # output dropout only when explicitly layered.
-        del drop, drop_rngs
         return ys, (hT, cT)
 
 

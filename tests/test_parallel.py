@@ -74,3 +74,15 @@ def test_dp_tp_step_matches_single_device():
 def test_graft_entry_dryrun():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_mesh_for_batch_divisibility():
+    from imagecaptioning_tpu.parallel import mesh as meshlib
+    # 8 virtual devices; batch 6 → largest divisor ≤ 8 is 6
+    m = meshlib.mesh_for_batch(6)
+    assert m.shape["data"] in (1, 2, 3, 6)
+    assert 6 % m.shape["data"] == 0
+    m8 = meshlib.mesh_for_batch(16)
+    assert m8.shape["data"] == 8
+    m1 = meshlib.mesh_for_batch(1)
+    assert m1.shape["data"] == 1

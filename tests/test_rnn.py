@@ -82,3 +82,26 @@ def test_lstm_cell_matches_torch():
                                want_h.detach().numpy(), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_c),
                                want_c.detach().numpy(), rtol=1e-5, atol=1e-5)
+
+
+def test_interlayer_dropout_multilayer():
+    """torch inter-layer LSTM dropout: applied between layers in train
+    mode (2-layer GT config), inactive deterministically and for 1 layer."""
+    import jax
+    from imagecaptioning_tpu.ops.rnn import LSTM
+
+    rng = np.random.RandomState(0)
+    xs = jnp.asarray(rng.rand(2, 5, 8).astype(np.float32))
+    m = LSTM(hidden_size=8, num_layers=2, dropout=0.5)
+    k = jax.random.PRNGKey(0)
+    variables = m.init({"params": k}, xs)
+    det, _ = m.apply(variables, xs, deterministic=True)
+    tr1, _ = m.apply(variables, xs, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(1)})
+    tr2, _ = m.apply(variables, xs, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(2)})
+    # stochastic in train mode, stable in eval mode
+    assert not np.allclose(np.asarray(tr1), np.asarray(det))
+    assert not np.allclose(np.asarray(tr1), np.asarray(tr2))
+    det2, _ = m.apply(variables, xs, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(det), np.asarray(det2))
