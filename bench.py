@@ -77,15 +77,15 @@ def bench_decode(args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch-size", type=int, default=128)
-    ap.add_argument("--steps", type=int, default=30)
-    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--warmup", type=int, default=20)
     ap.add_argument("--vocab", type=int, default=2048)
     ap.add_argument("--seq-length", type=int, default=16)
     ap.add_argument("--beam-size", type=int, default=3)
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--metric", choices=["train", "decode"],
                     default="train")
-    ap.add_argument("--steps-per-call", type=int, default=10,
+    ap.add_argument("--steps-per-call", type=int, default=20,
                     help="train steps fused into one XLA program via "
                          "lax.scan — amortizes host dispatch, which "
                          "dominates through the remote TPU relay")
