@@ -140,9 +140,14 @@ class Vocab:
                 words.append(self.idx_to_token[str(idx)])
         return " ".join(words)
 
-    def decode_sequence(self, seq: np.ndarray) -> List[str]:
-        """Batched decode of an (N, T) int array."""
+    def decode_sequence(self, seq: np.ndarray):
+        """Decode 1D (T,), 2D (N, T) or 3D (N, K, T) int arrays — the
+        reference handles all three (`LanguageModule.py:52-97`). 1D/2D
+        → list of strings; 3D → list of lists (per-beam strings)."""
         seq = np.asarray(seq)
         if seq.ndim == 1:
             seq = seq[None]
+        if seq.ndim == 3:
+            return [[self.decode_row(row) for row in beams]
+                    for beams in seq]
         return [self.decode_row(row) for row in seq]

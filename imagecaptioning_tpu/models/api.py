@@ -251,11 +251,25 @@ class CaptioningModel:
     def decode_sequence(self, seq):
         return self.vocab.decode_sequence(np.asarray(seq))
 
-    def forward_train(self, images, gt):
+    @staticmethod
+    def _unpack(data, gt):
+        """Accept either (images, gt) positionals or the reference's
+        data dict/edict with 'image'/'gt_labels' keys."""
+        if gt is None and hasattr(data, "get"):
+            return data["image"], data["gt_labels"]
+        return data, gt
+
+    def forward_train(self, data, gt=None):
+        images, gt = self._unpack(data, gt)
         loss, _ = self._fwd(self.variables, images, gt)
         return loss
 
-    def forward_test(self, images):
+    def forward_test(self, data):
+        images = data["image"] if (hasattr(data, "get")
+                                   and not hasattr(data, "shape")) else data
+        return self._forward_test(images)
+
+    def _forward_test(self, images):
         if self.use_beam:
             if self.beam_size not in self._beams:
                 self._beams[self.beam_size] = make_beam_fn(

@@ -184,3 +184,19 @@ def test_cached_decode_matches_teacher_forced(name, batch):
             np.testing.assert_allclose(np.asarray(logits)[valid],
                                        tf_logits[valid, t],
                                        rtol=2e-4, atol=2e-4)
+
+
+def test_facade_accepts_reference_data_dict(batch):
+    from imagecaptioning_tpu.data.tokenizer import Vocab
+    images, gt = batch
+    model = _make("lstm")
+    variables = model.init({"params": jax.random.PRNGKey(0)}, images, gt,
+                           train=False)
+    vocab = Vocab({f"w{i}": i for i in range(1, V + 1)})
+    m = api.CaptioningModel(model, variables, vocab, T)
+    data = {"image": images, "gt_labels": gt}
+    loss_dict_style = float(m.forward_train(data))
+    loss_positional = float(m.forward_train(images, gt))
+    assert loss_dict_style == loss_positional
+    caps, alphas = m.forward_test(data)
+    assert len(caps) == images.shape[0]

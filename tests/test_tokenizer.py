@@ -66,3 +66,12 @@ def test_decode_stops_at_end_and_null():
     assert v.decode_row([1, 2, v.end_token, 1]) == "x y"
     assert v.decode_row([1, 0, 2]) == "x"
     assert v.decode_sequence(np.array([[1, 2, 0], [2, 2, 2]])) == ["x y", "y y y"]
+
+
+def test_decode_sequence_3d():
+    from imagecaptioning_tpu.data.tokenizer import Vocab
+    v = Vocab({"a": 1, "b": 2})
+    seq = np.array([[[1, 2, 0], [2, v.end_token, 1]],
+                    [[2, 2, 2], [1, 0, 0]]])
+    out = v.decode_sequence(seq)
+    assert out == [["a b", "b"], ["b b b", "a"]]
