@@ -100,7 +100,8 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
     state, _ = steplib.create_train_state(model, tx, x0,
                                           jnp.asarray(sample_gt), cfg.seed)
 
-    device_mesh = meshlib.create_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
+    device_mesh = meshlib.mesh_for_batch(bs, cfg.mesh_shape,
+                                         cfg.mesh_axis_names)
     train_step = steplib.shard_train_step(
         steplib.make_train_step(model, tx, preprocess=preprocess),
         device_mesh)

@@ -1,0 +1,69 @@
+"""infer.py serving-CLI regression: train → checkpoint → caption files."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    root = tmp_path_factory.mktemp("infer")
+    from imagecaptioning_tpu.config import get_lstm_config
+    from imagecaptioning_tpu.data import synthetic
+    from imagecaptioning_tpu.train.driver import train
+
+    synthetic.write_face2text_h5(str(root / "f.h5"), str(root / "f.json"),
+                                 num_images=10, seq_length=6)
+    cfg = get_lstm_config().replace(
+        data_h5=str(root / "f.h5"), data_json=str(root / "f.json"),
+        batch_size=4, save_checkpoint_every=8, num_epochs=1,
+        eval_val_batch_size=2, compute_dtype="float32",
+        lstm_size=32, embedding_size=32,
+        save_path=str(root / "models/best.ckpt"),
+        loss_file=str(root / "loss.json"),
+        result_file=str(root / "results.json"))
+    out = train(cfg, max_iter_override=1, eval_every_override=1,
+                verbose=False)
+    imdir = root / "photos"
+    imdir.mkdir()
+    import h5py
+    with h5py.File(root / "f.h5") as f:
+        for i in range(2):
+            Image.fromarray(f["images"][i]).save(str(imdir / f"i{i}.jpg"))
+    return root, out["save_path"], str(imdir)
+
+
+def test_infer_greedy_and_beam(trained):
+    import infer
+    root, ckpt, imdir = trained
+    common = ["--model-type", "lstm", "--ckpt", ckpt,
+              "--dicts", str(root / "f.json"), "--images", imdir,
+              "--seq-length", "6",
+              "--set", "lstm_size=32", "embedding_size=32",
+              "compute_dtype=float32"]
+    res = infer.main(common + ["--out", str(root / "caps.json")])
+    assert len(res) == 2 and all(isinstance(c, str) for c in res.values())
+    assert os.path.exists(root / "caps.json")
+    with open(root / "caps.json") as f:
+        assert json.load(f) == res
+    res_beam = infer.main(common + ["--beam", "2"])
+    assert len(res_beam) == 2
+
+
+def test_restore_params_shapes(trained):
+    from imagecaptioning_tpu.utils.checkpoint import restore_params
+    root, ckpt, imdir = trained
+    params, batch_stats = restore_params(ckpt)
+    assert "llm" in params and "features" in params
+    assert batch_stats                      # ResNet BN running stats
+    leaf = next(iter(np.asarray(v) for v in
+                     jax_leaves(params)))
+    assert np.isfinite(leaf).all()
+
+
+def jax_leaves(tree):
+    import jax
+    return jax.tree.leaves(tree)
