@@ -106,6 +106,29 @@ def apply_box_transform(anchors: jnp.ndarray,
         axis=-1)
 
 
+def make_boxes(trans_maps: jnp.ndarray, anchor_wh: jnp.ndarray,
+               x0: float, y0: float, sx: float, sy: float):
+    """Fused anchors+deltas → proposal boxes: the legacy `MakeBoxes`
+    module (reference `DenseCap/densecap/MakeBoxes.py:26-66`, unused in
+    the committed graph — the live path composes MakeAnchors +
+    ApplyBoxTransform; this fused form is kept for inventory parity and
+    is exactly their composition).
+
+    trans_maps: (N, 4k, H, W) box-delta maps from the RPN head;
+    anchor_wh: (k, 2) anchor sizes. Returns (boxes, raw_anchors), each
+    (N, k*H*W, 4) xcycwh, matching the reference's output layout.
+    """
+    n, c4k, hf, wf = trans_maps.shape
+    k = c4k // 4
+    t = trans_maps.reshape(n, k, 4, hf, wf)
+    anchors = make_anchors(anchor_wh, x0, y0, sx, sy, hf, wf)  # (k,H,W,4)
+    anchors = jnp.broadcast_to(anchors[None], (n, k, hf, wf, 4))
+    trans = jnp.moveaxis(t, 2, -1)                             # (N,k,H,W,4)
+    boxes = apply_box_transform(anchors, trans)
+    return (boxes.reshape(n, k * hf * wf, 4),
+            anchors.reshape(n, k * hf * wf, 4))
+
+
 def invert_box_transform(anchors: jnp.ndarray,
                          boxes: jnp.ndarray) -> jnp.ndarray:
     """Regression targets: the deltas mapping anchors onto target boxes

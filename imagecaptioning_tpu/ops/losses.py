@@ -75,6 +75,27 @@ def sum_cross_entropy(logits: jnp.ndarray,
     return (nll * mask).sum() / t1d.shape[0]
 
 
+def log_softmax_nll(logits: jnp.ndarray,
+                    targets: jnp.ndarray,
+                    weights: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Plain LogSoftmax + NLL with optional per-class weights — the
+    reference's `OurCrossEntropyCriterion` (declared but unused in its
+    graph, `DenseCap/densecap/OurCrossEntropyCriterion.py:4-14`).
+
+    torch `NLLLoss(weight=w)` semantics: weighted sum of per-sample NLL
+    divided by the sum of the weights of the realized targets.
+    """
+    logits = logits.astype(jnp.float32)
+    c = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.reshape(-1, c), axis=-1)
+    t1d = targets.reshape(-1).astype(jnp.int32)
+    nll = -jnp.take_along_axis(logp, t1d[:, None], axis=-1)[:, 0]
+    if weights is None:
+        return nll.mean()
+    w = weights.astype(jnp.float32)[t1d]
+    return (nll * w).sum() / jnp.maximum(w.sum(), 1e-12)
+
+
 def doubly_stochastic_regularizer(alphas: jnp.ndarray) -> jnp.ndarray:
     """((1 - sum_t alpha_{t,p})^2).mean() over batch and positions —
     encourages total attention mass ~1 at every spatial position."""
