@@ -31,11 +31,10 @@ def bench_decode(args):
     loops, so there is no vs_baseline (reported as null)."""
     from imagecaptioning_tpu.data import transforms
     from imagecaptioning_tpu.models import api
-    from imagecaptioning_tpu.models.captioners import LSTMCaptioner
 
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
-    model = LSTMCaptioner(vocab_size=args.vocab, embedding_size=1024,
-                          rnn_size=768, compute_dtype=dtype)
+    fam = _family_table()[args.family]
+    model = fam["make"](args.vocab, args.seq_length, dtype)
     rng = np.random.RandomState(0)
     b = args.batch_size
     images_u8 = jnp.asarray(
@@ -67,46 +66,167 @@ def bench_decode(args):
     float(carry)                      # host sync: forces all steps
     dt = time.perf_counter() - t0
     print(json.dumps({
-        "metric": f"lstm_resnet101_beam{args.beam_size}_captions_per_sec",
+        "metric": fam["metric"].replace(
+            "_train_images_per_sec",
+            f"_beam{args.beam_size}_captions_per_sec"),
         "value": round(args.steps * b / dt, 2),
         "unit": "captions/sec",
         "vs_baseline": None,
     }))
 
 
+def bench_dense(args):
+    """GT dense-captioning training throughput in regions/sec: batched
+    images × padded region slabs through VGG16 → ROI pooling → caption
+    head → backward → Adam, one donated program. The reference's
+    traingt.py path is locked to one image per step and never published
+    a step time, so vs_baseline is null."""
+    from imagecaptioning_tpu.config.dense_configs import get_gt_config
+    from imagecaptioning_tpu.train import dense_driver
+    from imagecaptioning_tpu.train.step import TrainState
+
+    b, r, s = args.batch_size, args.max_regions, args.image_size
+    cfg = get_gt_config().replace(
+        batch_size=b, max_regions=r, use_lstm=True,
+        compute_dtype="float32" if args.fp32 else "bfloat16")
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    model = dense_driver.build_gt_model(cfg, vocab_size=args.vocab,
+                                        seq_length=args.seq_length)
+    tx = dense_driver.make_dense_optimizer(cfg, finetune_start_step=10**9)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randint(0, 256, size=(b, s, s, 3),
+                                     dtype=np.uint8))
+    # random sane boxes in xcycwh, padded slab of r regions per image
+    wh = rng.uniform(32, s // 2, size=(b, r, 2))
+    cxy = rng.uniform(s * 0.25, s * 0.75, size=(b, r, 2))
+    boxes = jnp.asarray(np.concatenate([cxy, wh], -1).astype(np.float32))
+    labels = jnp.asarray(rng.randint(1, args.vocab + 1,
+                                     size=(b, r, args.seq_length),
+                                     dtype=np.int32))
+    mask = jnp.ones((b, r), jnp.float32)
+
+    from imagecaptioning_tpu.data.vg_loader import normalize_images
+    x0 = normalize_images(images, dtype=dtype)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "sampling": jax.random.PRNGKey(2)},
+        x0, boxes, labels, train=True)
+    state = TrainState(jnp.array(0, jnp.int32), variables["params"],
+                       tx.init(variables["params"]), {},
+                       jax.random.PRNGKey(3))
+    step_fn = dense_driver.make_gt_train_step(model, tx,
+                                              use_curriculum=False,
+                                              dtype=dtype)
+    spc = max(args.steps_per_call, 1)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_many(state):
+        def body(st, _):
+            st, metrics = step_fn(st, images, boxes, labels, mask, 1.0)
+            return st, metrics["captioning_loss"]
+        state, losses = jax.lax.scan(body, state, None, length=spc)
+        return state, losses[-1]
+
+    for _ in range(max(args.warmup // spc, 1)):
+        state, loss = train_many(state)
+    float(loss)
+    n_calls = max(args.steps // spc, 1)
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        state, loss = train_many(state)
+    float(loss)                       # host sync: forces all steps
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": f"gt_dense_train_regions_per_sec_img{s}",
+        "value": round(n_calls * spc * b * r / dt, 2),
+        "unit": "regions/sec",
+        "vs_baseline": None,
+    }))
+
+
+# Per-family definitions: model factory, default batch, metric name, and
+# the reference's measured img/s where one exists (BASELINE.md — the
+# reference only timed the LSTM and ViT-B families).
+def _family_table():
+    from imagecaptioning_tpu.config import (
+        get_lstm_attention_config, get_lstm_config, get_transformer_config,
+        get_vitb_config)
+    from imagecaptioning_tpu.models.captioners import (
+        AttentionCaptioner, LSTMCaptioner, TransformerCaptioner,
+        ViTCaptioner)
+    return {
+        "lstm": dict(
+            make=lambda v, t, d: LSTMCaptioner(
+                vocab_size=v, embedding_size=1024, rnn_size=768,
+                compute_dtype=d, freeze_encoder=True),
+            cfg=get_lstm_config, batch=128,
+            metric="lstm_resnet101_train_images_per_sec", baseline=115.0),
+        "attention": dict(
+            make=lambda v, t, d: AttentionCaptioner(
+                vocab_size=v, embedding_size=1024, rnn_size=768,
+                dropout=0.5, compute_dtype=d, freeze_encoder=True),
+            cfg=get_lstm_attention_config, batch=64,
+            metric="attention_lstm_resnet101_train_images_per_sec",
+            baseline=None),
+        "transformer": dict(
+            make=lambda v, t, d: TransformerCaptioner(
+                vocab_size=v, max_length=t, embed_size=512, num_layers=6,
+                heads=8, dropout=0.1, compute_dtype=d, freeze_encoder=True),
+            cfg=get_transformer_config, batch=64,
+            metric="transformer_resnet101_train_images_per_sec",
+            baseline=None),
+        "vitb": dict(
+            make=lambda v, t, d: ViTCaptioner(
+                vocab_size=v, max_length=t, dropout=0.1,
+                compute_dtype=d, freeze_encoder=True),
+            cfg=get_vitb_config, batch=64,
+            metric="vitb16_train_images_per_sec", baseline=14.0),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="default: per-family (128 lstm, 64 others)")
+    ap.add_argument("--family",
+                    choices=["lstm", "attention", "transformer", "vitb"],
+                    default="lstm")
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--warmup", type=int, default=20)
     ap.add_argument("--vocab", type=int, default=2048)
     ap.add_argument("--seq-length", type=int, default=16)
     ap.add_argument("--beam-size", type=int, default=3)
     ap.add_argument("--fp32", action="store_true")
-    ap.add_argument("--metric", choices=["train", "decode"],
+    ap.add_argument("--metric", choices=["train", "decode", "dense"],
                     default="train")
+    ap.add_argument("--max-regions", type=int, default=32)
+    ap.add_argument("--image-size", type=int, default=512)
     ap.add_argument("--steps-per-call", type=int, default=20,
                     help="train steps fused into one XLA program via "
                          "lax.scan — amortizes host dispatch, which "
                          "dominates through the remote TPU relay")
     args = ap.parse_args()
+    if args.metric == "dense":
+        if args.batch_size is None:
+            args.batch_size = 8
+        return bench_dense(args)
+    fam = _family_table()[args.family]
+    if args.batch_size is None:
+        args.batch_size = fam["batch"]
     if args.metric == "decode":
         return bench_decode(args)
 
-    from imagecaptioning_tpu.config import get_lstm_config
     from imagecaptioning_tpu.data import transforms
-    from imagecaptioning_tpu.models.captioners import LSTMCaptioner
     from imagecaptioning_tpu.train import optim, step as steplib
 
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
-    # frozen-CNN phase, exactly the reference's measured configuration
-    # (train_LSTM.py:48-54, requires_grad_(False)): gradients stop at
-    # the encoder output — no conv backward — and the encoder group
-    # receives zero updates.
-    model = LSTMCaptioner(vocab_size=args.vocab, embedding_size=1024,
-                          rnn_size=768, compute_dtype=dtype,
-                          freeze_encoder=True)
-    cfg = get_lstm_config().replace(batch_size=args.batch_size)
+    # frozen-encoder phase, exactly the reference's measured
+    # configuration (train_LSTM.py:48-54, requires_grad_(False)):
+    # gradients stop at the encoder output — no conv backward — and the
+    # encoder group receives zero updates.
+    model = fam["make"](args.vocab, args.seq_length, dtype)
+    cfg = fam["cfg"]().replace(batch_size=args.batch_size)
     tx = optim.make_optimizer(cfg, total_steps=10_000,
                               finetune_start_step=1_000_000)
 
@@ -155,11 +275,13 @@ def main():
     dt = time.perf_counter() - t0
 
     img_per_sec = n_calls * spc * b / dt
+    baseline = fam["baseline"]
     print(json.dumps({
-        "metric": "lstm_resnet101_train_images_per_sec",
+        "metric": fam["metric"],
         "value": round(img_per_sec, 2),
         "unit": "images/sec",
-        "vs_baseline": round(img_per_sec / REFERENCE_IMG_PER_SEC, 3),
+        "vs_baseline": (round(img_per_sec / baseline, 3)
+                        if baseline else None),
     }))
 
 

@@ -85,6 +85,7 @@ class CaptionConfig:
     eval_val_batch_size: int = 12
     log_every: int = 0            # 0 → reference's pad = save_ckpt_every // bs**2
     debug_nans: bool = False
+    tensorboard_dir: str = ""     # '' = off; optional TB event stream
 
     def replace(self, **kw) -> "CaptionConfig":
         return replace(self, **kw)

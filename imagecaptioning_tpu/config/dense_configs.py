@@ -108,6 +108,7 @@ class DenseConfig:
     eval_batch_size: int = 2
     debug_nans: bool = False
     profile_dir: str = ""        # jax.profiler trace dir ('' = off)
+    tensorboard_dir: str = ""    # '' = off; optional TB event stream
     vgg_stages: int = 5          # VGG trunk depth (5 = full; tests shrink)
     use_pallas_roi: bool = False  # explicit Pallas ROI kernel (GT path, TPU)
 

@@ -39,6 +39,7 @@ from imagecaptioning_tpu.models.densecap import DenseCapRPN, GTDenseCaptioner
 from imagecaptioning_tpu.train.step import TrainState
 from imagecaptioning_tpu.utils import checkpoint as ckptlib
 from imagecaptioning_tpu.utils.io import LossHistory, ResultsHistory
+from imagecaptioning_tpu.utils.tb import TBWriter
 
 
 def make_vg_loader(cfg: DenseConfig, synthetic_fallback: bool = True,
@@ -236,6 +237,7 @@ def train_gt(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
 
     loss_hist = LossHistory(loss_file, resume=cfg.from_checkpoint)
     res_hist = ResultsHistory(result_file, resume=cfg.from_checkpoint)
+    tb = TBWriter(cfg.tensorboard_dir)
     start_iter = 0
     resume_from = ckptlib.resume_path(save_path) if cfg.from_checkpoint \
         else None
@@ -268,6 +270,8 @@ def train_gt(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
         if it % pad == 0:
             loss_hist.append(it, last_loss, step_ms)
             loss_hist.flush()
+            tb.scalar("train/captioning_loss", last_loss, it)
+            tb.scalar("train/step_ms", step_ms, it)
             if verbose:
                 print(f"iter {it}/{max_iter} captioning_loss "
                       f"{last_loss:.5f} ({step_ms:.1f} ms)")
@@ -279,6 +283,8 @@ def train_gt(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
             is_best = res_hist.append(it, results,
                                       score_key=("ap_results", "map"))
             res_hist.flush()
+            tb.scalars(results.get("ap_results", {}), it, prefix="val/")
+            tb.flush()
             if verbose:
                 print(f"eval@{it}: map={results['ap_results']['map']:.4f} "
                       f"best={is_best}")
@@ -286,6 +292,7 @@ def train_gt(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
                 ckptlib.save_checkpoint(save_path, state)
 
     sig.__exit__()
+    tb.close()
     return {
         "iters": it,
         "final_loss": last_loss,
@@ -399,6 +406,7 @@ def train_rpn(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
 
     loss_hist = LossHistory(cfg.loss_file, resume=False)
     res_hist = ResultsHistory(cfg.result_file, resume=False)
+    tb = TBWriter(cfg.tensorboard_dir)
 
     it = 0
     last = {}
@@ -416,6 +424,8 @@ def train_rpn(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
         if it % cfg.losses_log_every == 0:
             loss_hist.append(it, last["total"], step_ms)
             loss_hist.flush()
+            tb.scalars(last, it, prefix="train/")
+            tb.scalar("train/step_ms", step_ms, it)
             if verbose:
                 msg = ", ".join(f"{k}: {v:.5f}" for k, v in last.items())
                 print(f"iter {it}/{max_iter} -> {msg}")
@@ -428,9 +438,12 @@ def train_rpn(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
             res_hist.flush()
             if is_best:
                 ckptlib.save_checkpoint(cfg.save_path, state)
+            tb.scalars(results.get("ap_results", {}), it, prefix="val/")
+            tb.flush()
             if verbose:
                 print(f"eval@{it}: map={results['ap_results']['map']:.4f}")
 
+    tb.close()
     return {
         "iters": it, "final_losses": last,
         "best_val_score": res_hist.best_score,

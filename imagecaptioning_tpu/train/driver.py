@@ -36,6 +36,7 @@ from imagecaptioning_tpu.parallel import mesh as meshlib
 from imagecaptioning_tpu.train import optim, step as steplib
 from imagecaptioning_tpu.utils import checkpoint as ckptlib
 from imagecaptioning_tpu.utils.io import LossHistory, ResultsHistory
+from imagecaptioning_tpu.utils.tb import TBWriter
 
 
 def make_loader(cfg: CaptionConfig, synthetic_fallback: bool = True,
@@ -112,6 +113,7 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
 
     loss_hist = LossHistory(loss_file, resume=cfg.from_checkpoint)
     res_hist = ResultsHistory(result_file, resume=cfg.from_checkpoint)
+    tb = TBWriter(cfg.tensorboard_dir)
     start_iter = 0
     resume_from = ckptlib.resume_path(save_path) if cfg.from_checkpoint \
         else None
@@ -160,6 +162,8 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
         if it % pad == 0:
             loss_hist.append(it, last_loss, step_ms)
             loss_hist.flush()
+            tb.scalar("train/loss", last_loss, it)
+            tb.scalar("train/step_ms", step_ms, it)
             if verbose:
                 print(f"iter {it}/{max_iter} loss {last_loss:.4f} "
                       f"({step_ms:.1f} ms)")
@@ -172,6 +176,8 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
                 eval_loss_fn=lambda v, x, g: eval_loss(state, x, g))
             is_best = res_hist.append(it, results)
             res_hist.flush()
+            tb.scalars(results.get("ap_results", {}), it, prefix="val/")
+            tb.flush()
             if verbose:
                 print(f"eval@{it}: {results['ap_results']} best={is_best}")
             if is_best:
@@ -180,6 +186,7 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
                     extra={"iterators": dict(loader.iterators)})
 
     sig.__exit__()
+    tb.close()
     # Final test-split eval; beam sweep 1-5 like the reference drivers.
     final = {}
     if loader.split_ix[2]:
