@@ -3,6 +3,8 @@ dead/scratch code: OurCrossEntropyCriterion, MakeBoxes, optim_updates,
 and the json_modify.py fixups. Each is pinned against torch (the
 reference's substrate) or against the composition it must equal."""
 
+import json
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -185,3 +187,84 @@ class TestFixups:
         want_std = np.stack([x[i].std(axis=(0, 1)) for i in range(4)]).mean(0)
         np.testing.assert_allclose(mean, want_mean, rtol=1e-9)
         np.testing.assert_allclose(std, want_std, rtol=1e-6)
+
+
+# A stand-in scorer process speaking the METEOR-1.5 stdio protocol
+# (SCORE -> stats line, EVAL -> float), so the bridge is testable
+# without a JVM: score = unigram overlap F1 between candidate and the
+# best reference.
+_FAKE_METEOR = r"""
+import sys
+for line in sys.stdin:
+    parts = [p.strip() for p in line.split('|||')]
+    if parts[0] == 'SCORE':
+        refs, cand = parts[1:-1], parts[-1].split()
+        best = 0.0
+        for ref in refs:
+            r = ref.split()
+            ov = len(set(r) & set(cand))
+            if r and cand:
+                best = max(best, 2.0 * ov / (len(r) + len(cand)))
+        print('%d %.6f' % (len(refs), best), flush=True)
+    elif parts[0] == 'EVAL':
+        print(parts[1].split()[1], flush=True)
+"""
+
+
+class TestMeteorBridge:
+    def _scorer(self):
+        import sys
+
+        from imagecaptioning_tpu.eval import meteor_bridge
+        return meteor_bridge.ExternalMeteor(
+            cmd=[sys.executable, "-u", "-c", _FAKE_METEOR])
+
+    def test_unavailable_without_jar(self, tmp_path):
+        from imagecaptioning_tpu.eval import meteor_bridge
+        assert not meteor_bridge.available("")
+        assert not meteor_bridge.available(str(tmp_path / "missing.jar"))
+        with pytest.raises(RuntimeError, match="unavailable"):
+            meteor_bridge.ExternalMeteor(jar_path="")
+
+    def test_score_protocol_roundtrip(self):
+        with self._scorer() as m:
+            assert m.score("a b c", ["a b c"]) == pytest.approx(1.0)
+            assert m.score("a b", ["a b c d", "z"]) == pytest.approx(
+                2 * 2 / (4 + 2))
+            # delimiter sanitization: '|||' stripped from payloads
+            assert m.score("a ||| b", ["a b"]) == pytest.approx(1.0)
+
+    def test_score_records_batch_contract(self):
+        records = [
+            {"candidate": "a b", "references": ["a b"]},
+            {"candidate": "x", "references": ["y"]},
+        ]
+        with self._scorer() as m:
+            out = m.score_records(records)
+        assert out["scores"] == [pytest.approx(1.0), pytest.approx(0.0)]
+        assert out["average_score"] == pytest.approx(0.5)
+
+    def test_thread_safety(self):
+        from concurrent.futures import ThreadPoolExecutor
+        with self._scorer() as m:
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                got = list(pool.map(
+                    lambda i: m.score("w%d" % i, ["w%d" % i]), range(32)))
+        assert got == [pytest.approx(1.0)] * 32
+
+    def test_cli_batch_mode(self, tmp_path, monkeypatch):
+        import sys
+
+        from imagecaptioning_tpu.eval import meteor_bridge
+        inp = tmp_path / "input.json"
+        outp = tmp_path / "output.json"
+        inp.write_text(json.dumps(
+            [{"candidate": "a b", "references": ["a b"]}]))
+        real = meteor_bridge.ExternalMeteor
+        monkeypatch.setattr(
+            meteor_bridge, "ExternalMeteor",
+            lambda jar_path: real(cmd=[sys.executable, "-u", "-c",
+                                       _FAKE_METEOR]))
+        meteor_bridge.main([str(inp), str(outp)])
+        blob = json.loads(outp.read_text())
+        assert blob["average_score"] == pytest.approx(1.0)
