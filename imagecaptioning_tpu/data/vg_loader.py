@@ -200,13 +200,19 @@ class VGDataLoader:
 
     def padded_batches(self, split_val: int, batch_size: int,
                        max_regions: Optional[int] = None,
-                       shuffle: bool = False) -> Iterator[Dict[str, np.ndarray]]:
+                       shuffle: bool = False,
+                       start: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         """Yield dict batches of stacked fixed-shape examples covering the
-        split once (ragged tail dropped — static shapes for jit)."""
+        split once (ragged tail dropped — static shapes for jit).
+        `start` skips that many leading images — the resume cursor, the
+        reference's `loader.iterators[0] = iter % len(train_ix)`
+        (traingt.py:51)."""
         rm = max_regions or self.max_regions_per_image
         ix = np.asarray(self.split_ix[split_val])
         if shuffle:
             ix = self._rng.permutation(ix)
+        if start:
+            ix = ix[start % len(ix):]
         use_native = isinstance(self.images, np.ndarray)
         for s in range(0, len(ix) - batch_size + 1, batch_size):
             sel = ix[s:s + batch_size]

@@ -156,11 +156,14 @@ def setup(cfg: DenseConfig, vocab_size: int, seq_length: int,
     return model, state
 
 
-def _endless_batches(loader, cfg: DenseConfig):
+def _endless_batches(loader, cfg: DenseConfig, start_images: int = 0):
+    """Endless pass over the train split; `start_images` fast-forwards
+    the first epoch — the reference's resume cursor (traingt.py:51)."""
     while True:
         yield from loader.padded_batches(0, cfg.batch_size,
                                          max_regions=cfg.max_regions,
-                                         shuffle=False)
+                                         shuffle=False, start=start_images)
+        start_images = 0
 
 
 def make_gt_train_step(model: GTDenseCaptioner, tx,
@@ -207,7 +210,6 @@ def train_gt(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
     finetune_start = len(loader.train_ix)      # traingt.py:87-88
     tx = make_dense_optimizer(cfg, finetune_start)
 
-    batches = _endless_batches(loader, cfg)
     b0 = next(loader.padded_batches(0, cfg.batch_size,
                                     max_regions=cfg.max_regions))
     rng = jax.random.PRNGKey(cfg.seed)
@@ -247,6 +249,9 @@ def train_gt(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
         if verbose:
             print(f"resumed from {resume_from} at iter {start_iter}")
 
+    batches = _endless_batches(
+        loader, cfg,
+        start_images=(start_iter * cfg.batch_size) % len(loader.train_ix))
     it = start_iter
     last_loss = float("nan")
     sig = ckptlib.SignalCheckpointer()

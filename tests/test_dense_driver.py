@@ -112,3 +112,28 @@ def test_optimizer_freezes_conv1_conv2():
         updates, state = tx.update(grads, state, params)
     assert float(jnp.abs(updates["features"]["conv5_3"]["kernel"]).max()) > 0
     assert float(jnp.abs(updates["features"]["conv1_1"]["kernel"]).max()) == 0
+
+
+def test_endless_batches_resume_cursor():
+    """_endless_batches(start_images=k) continues the epoch mid-stream —
+    the reference's `loader.iterators[0] = iter % len(train_ix)` resume
+    (traingt.py:51) — then wraps to full epochs."""
+    from imagecaptioning_tpu.data import synthetic
+    from imagecaptioning_tpu.data.vg_loader import VGDataLoader
+    from imagecaptioning_tpu.train import dense_driver
+
+    arrays, info = synthetic.make_vg_arrays(num_images=8,
+                                            regions_per_image=2)
+    loader = VGDataLoader(arrays=arrays, info=info)
+    from imagecaptioning_tpu.config.dense_configs import get_gt_config
+    cfg = get_gt_config().replace(batch_size=2, max_regions=3)
+
+    n_batches = len(loader.train_ix) // cfg.batch_size   # 6 imgs / bs 2
+    fresh = dense_driver._endless_batches(loader, cfg)
+    resumed = dense_driver._endless_batches(loader, cfg,
+                                            start_images=2 * cfg.batch_size)
+    full_epoch = [next(fresh) for _ in range(n_batches)]
+    # resumed stream: batch 2 of epoch 0, then epoch 1 from the top
+    for want in full_epoch[2:] + full_epoch[:2]:
+        got = next(resumed)
+        np.testing.assert_array_equal(got["image"], want["image"])

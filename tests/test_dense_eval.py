@@ -60,6 +60,22 @@ class TestVGLoader:
         # padded boxes are finite and in-bounds
         assert np.isfinite(b["boxes"]).all()
 
+    def test_padded_batches_start_cursor(self):
+        # `start` is the resume cursor (reference traingt.py:51): the
+        # first pass continues mid-split, identical batches thereafter.
+        loader = make_loader(num_images=8, regions_per_image=2)
+        full = list(loader.padded_batches(0, 2, max_regions=3))
+        from_cursor = list(loader.padded_batches(0, 2, max_regions=3,
+                                                 start=2))
+        assert len(from_cursor) == len(full) - 1
+        for got, want in zip(from_cursor, full[1:]):
+            np.testing.assert_array_equal(got["image"], want["image"])
+            np.testing.assert_array_equal(got["labels"], want["labels"])
+        # cursor wraps modulo the split size
+        wrapped = next(loader.padded_batches(0, 2, max_regions=3,
+                                             start=len(loader.train_ix)))
+        np.testing.assert_array_equal(wrapped["image"], full[0]["image"])
+
     def test_region_slab_one_indexed(self):
         loader = make_loader(num_images=4, regions_per_image=3)
         boxes, labels = loader.region_slab(1)
