@@ -126,12 +126,16 @@ class AlexDataLoader:
 
     # --- TPU feeding ----------------------------------------------------
     def epoch_batches(self, split_val: int, batch_size: int,
-                      shuffle: bool = False) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+                      shuffle: bool = False,
+                      start: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Yield (images_u8, labels) covering a split once, dropping the
-        ragged tail (static shapes for jit)."""
+        ragged tail (static shapes for jit). `start` skips that many
+        leading images — the sequential-mode resume cursor."""
         ix = np.asarray(self.split_ix[split_val])
         if shuffle:
             ix = self._rng.permutation(ix)
+        if start:
+            ix = ix[start % len(ix):]
         for s in range(0, len(ix) - batch_size + 1, batch_size):
             sel = np.sort(ix[s:s + batch_size])
             if isinstance(self.images, np.ndarray):

@@ -51,15 +51,19 @@ def make_loader(cfg: CaptionConfig, synthetic_fallback: bool = True,
     return AlexDataLoader(arrays=arrays, info=info, seed=cfg.seed)
 
 
-def _batch_iterator(loader, cfg, batch_size):
+def _batch_iterator(loader, cfg, batch_size, start_images: int = 0):
     """Endless train-split batches: sequential when cfg.iterate, else
     random sampling without replacement per draw — the reference's
-    multinomial path (MyDataLoader.py:77-83)."""
+    multinomial path (MyDataLoader.py:77-83). `start_images`
+    fast-forwards the first sequential epoch to the resume cursor
+    (meaningless under shuffling, where each epoch reorders anyway)."""
     while True:
         if cfg.iterate:
-            yield from loader.epoch_batches(0, batch_size, shuffle=False)
+            yield from loader.epoch_batches(0, batch_size, shuffle=False,
+                                            start=start_images)
         else:
             yield from loader.epoch_batches(0, batch_size, shuffle=True)
+        start_images = 0
 
 
 def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
@@ -134,7 +138,10 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
             v["batch_stats"] = state.batch_stats
         return v
 
-    batches = prefetch_batches(_batch_iterator(loader, cfg, bs), size=2)
+    start_images = ((start_iter * bs) % len(loader.split_ix[0])
+                    if cfg.iterate else 0)
+    batches = prefetch_batches(
+        _batch_iterator(loader, cfg, bs, start_images=start_images), size=2)
     data_sharding = meshlib.data_sharding(device_mesh)
     put = partial(jax.device_put, device=data_sharding)
 

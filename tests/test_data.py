@@ -111,3 +111,28 @@ def test_vg_arrays_schema():
     s = arrays["images"].shape[1]
     x1 = arrays["boxes"][:, 0] - arrays["boxes"][:, 2] / 2
     assert (x1 >= 0).all()
+
+
+def test_epoch_batches_start_cursor():
+    """`start` resumes a sequential epoch mid-stream (driver resume)."""
+    from imagecaptioning_tpu.train import driver as driverlib
+
+    arrays, info = synthetic.make_face2text_arrays(num_images=24, seed=3)
+    loader = AlexDataLoader(arrays=arrays, info=info)
+    bs = 2
+    full = list(loader.epoch_batches(0, bs))
+    resumed = list(loader.epoch_batches(0, bs, start=2 * bs))
+    assert len(resumed) == len(full) - 2
+    for (gi, gl), (wi, wl) in zip(resumed, full[2:]):
+        np.testing.assert_array_equal(gi, wi)
+        np.testing.assert_array_equal(gl, wl)
+
+    class _Cfg:
+        iterate = True
+
+    # endless iterator: cursor applies to the first epoch only
+    it = driverlib._batch_iterator(loader, _Cfg(), bs,
+                                   start_images=2 * bs)
+    for want_i, _ in full[2:] + full:
+        got_i, _ = next(it)
+        np.testing.assert_array_equal(got_i, want_i)
