@@ -29,9 +29,14 @@ class SampleResult(NamedTuple):
     neg_mask: jnp.ndarray      # (num_neg,)
 
 
-def _masked_random_topk(rng, mask, k):
-    """Pick ≤k True positions uniformly at random; pad by repeating the
-    first pick (replacement) when fewer than k exist."""
+def _masked_random_topk(rng, mask, k, count_replacement: bool):
+    """Pick ≤k True positions uniformly at random; pad by cycling the
+    valid picks (replacement) when fewer than k exist. Padding slots are
+    marked valid only when `count_replacement` — the reference counts
+    replacement-sampled *negatives* multiple times in its losses
+    (`BoxSampler.py:61-69` fills the batch with replacement iff short)
+    but never duplicates positives (≤num_pos sampled without
+    replacement)."""
     n = mask.shape[0]
     keys = jax.random.uniform(rng, (n,))
     keys = jnp.where(mask, keys, -1.0)
@@ -42,7 +47,10 @@ def _masked_random_topk(rng, mask, k):
     safe = jnp.where(count > 0, count, 1)
     wrapped = idx[jnp.arange(k) % safe]
     idx = jnp.where(slot_ok, idx, wrapped)
-    return idx, jnp.logical_and(slot_ok | (count > 0), count > 0)
+    any_valid = count > 0
+    ok = jnp.logical_and(jnp.ones(k, bool) if count_replacement else slot_ok,
+                         any_valid)
+    return idx, ok
 
 
 @partial(jax.jit, static_argnames=("num_pos", "num_neg"))
@@ -70,7 +78,9 @@ def sample_boxes(rng: jax.Array, proposals: jnp.ndarray, gt: jnp.ndarray,
                                jnp.logical_not(pos_mask))
 
     r1, r2 = jax.random.split(rng)
-    pos_idx, pos_ok = _masked_random_topk(r1, pos_mask, num_pos)
-    neg_idx, neg_ok = _masked_random_topk(r2, neg_mask, num_neg)
+    pos_idx, pos_ok = _masked_random_topk(r1, pos_mask, num_pos,
+                                          count_replacement=False)
+    neg_idx, neg_ok = _masked_random_topk(r2, neg_mask, num_neg,
+                                          count_replacement=True)
     return SampleResult(pos_idx, pos_ok, argmax_gt[pos_idx],
                         neg_idx, neg_ok)

@@ -278,3 +278,50 @@ class TestBatchedPallasRoi:
                                        rtol=2e-5, atol=2e-5)
         finally:
             ra.roi_align_batch_pallas_fwd = orig
+
+
+class TestSamplerReplacementSemantics:
+    def test_positive_padding_slots_masked_out(self):
+        # 2 real positives, num_pos=4: the reference samples <=num_pos
+        # positives WITHOUT replacement (BoxSampler.py:61-63), so the
+        # two padding slots must not count in losses.
+        gt = jnp.asarray([[20.0, 20, 10, 10]])
+        props = jnp.asarray([
+            [20.0, 20, 10, 10],    # IoU 1 -> pos
+            [21.0, 20, 10, 10],    # high IoU -> pos
+            [90.0, 90, 10, 10],    # neg
+            [70.0, 90, 10, 10],    # neg
+            [90.0, 70, 10, 10],    # neg
+            [60.0, 60, 10, 10],    # neg
+        ])
+        res = sample_boxes(jax.random.PRNGKey(1), props, gt,
+                           jnp.asarray([True]), num_pos=4, num_neg=4)
+        assert int(np.asarray(res.pos_mask).sum()) == 2
+        # padding slots still carry valid positive indices (static
+        # gather safe: they cycle through the real picks)
+        assert set(np.asarray(res.pos_idx).tolist()) == {0, 1}
+
+    def test_negative_replacement_counts(self):
+        # 1 real negative, num_neg=4: the reference fills the batch with
+        # replacement when negatives run short (BoxSampler.py:66-69),
+        # and those duplicates DO count - all slots stay valid.
+        gt = jnp.asarray([[20.0, 20, 10, 10]])
+        props = jnp.asarray([
+            [20.0, 20, 10, 10],    # pos
+            [21.0, 20, 10, 10],    # pos
+            [19.0, 20, 10, 10],    # pos
+            [90.0, 90, 10, 10],    # the only neg
+        ])
+        res = sample_boxes(jax.random.PRNGKey(2), props, gt,
+                           jnp.asarray([True]), num_pos=3, num_neg=4)
+        assert np.asarray(res.neg_mask).all()
+        assert (np.asarray(res.neg_idx) == 3).all()
+
+    def test_no_positives_all_masked(self):
+        gt = jnp.asarray([[20.0, 20, 10, 10]])
+        props = jnp.asarray([[90.0, 90, 10, 10], [70.0, 90, 10, 10],
+                             [50.0, 90, 10, 10], [30.0, 90, 10, 10]])
+        res = sample_boxes(jax.random.PRNGKey(3), props, gt,
+                           jnp.asarray([False]),   # no real GT
+                           num_pos=2, num_neg=2)
+        assert not np.asarray(res.pos_mask).any()
