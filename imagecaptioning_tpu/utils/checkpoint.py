@@ -22,23 +22,37 @@ def _tree_to_numpy(tree):
 
 
 def save_checkpoint(path: str, state, extra: Optional[Dict] = None) -> None:
-    """Atomic single-file checkpoint (orbax StandardCheckpointer)."""
+    """Atomic checkpoint (orbax StandardCheckpointer). The new state is
+    fully written to a sibling temp dir first, then swapped in with
+    renames — a crash at any point leaves either the old or the new
+    checkpoint restorable, never neither."""
+    import shutil
+
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
     payload = {"state": _tree_to_numpy(state_as_dict(state))}
     if extra:
         payload["extra"] = _tree_to_numpy(extra)
     ckptr = ocp.StandardCheckpointer()
-    if os.path.exists(path):
-        import shutil
-        shutil.rmtree(path)
-    ckptr.save(path, payload)
+    tmp, old = path + ".tmp-save", path + ".old"
+    for leftover in (tmp, old):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+    ckptr.save(tmp, payload)
     ckptr.wait_until_finished()
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def restore_checkpoint(path: str, state_template, extra_template=None):
-    """Restore (state, extra). A checkpoint written without `extra`
-    (e.g. older files) restores its state and returns extra=None."""
+    """Restore (state, extra). Tolerant in both directions: a checkpoint
+    written without `extra` restores with extra=None, and one written
+    WITH extra restores fine when the caller passes no (or a mismatched)
+    `extra_template` — the extra payload is then returned as plain
+    numpy trees (or dropped structure mismatches fall back entirely)."""
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
@@ -50,9 +64,16 @@ def restore_checkpoint(path: str, state_template, extra_template=None):
             return (state_from_dict(state_template, restored["state"]),
                     restored.get("extra"))
         except (ValueError, KeyError):
-            pass        # stored without extra — fall through
-    restored = ckptr.restore(path, target=payload_t)
-    return state_from_dict(state_template, restored["state"]), None
+            pass        # stored without extra (or shape drift) — fall through
+    try:
+        restored = ckptr.restore(path, target=payload_t)
+        return state_from_dict(state_template, restored["state"]), None
+    except ValueError:
+        # stored WITH extra but restored without a matching template:
+        # template-free restore returns plain numpy trees.
+        restored = ckptr.restore(path)
+        return (state_from_dict(state_template, restored["state"]),
+                restored.get("extra"))
 
 
 def resume_path(save_path: str) -> Optional[str]:
@@ -60,6 +81,8 @@ def resume_path(save_path: str) -> Optional[str]:
     (`<save_path>.preempt`) when it is newer than the best-model
     checkpoint, else the best-model checkpoint, else None."""
     best = save_path if os.path.isdir(save_path) else None
+    if best is None and os.path.isdir(save_path + ".old"):
+        best = save_path + ".old"   # crash mid-swap: old state survives
     pre = (save_path + ".preempt"
            if os.path.isdir(save_path + ".preempt") else None)
     if best and pre:
