@@ -154,12 +154,15 @@ def _fwd(features, boxes, image_hw, out_hw):
 
 def _bwd(image_hw, out_hw, res, g):
     features, boxes = res
-    # backward of out = einsum('byh,hwc,bxw->byxc'): two einsums.
-    ry, cx = roi_weights(boxes, image_hw, features.shape[:2], out_hw)
-    g = g.astype(jnp.float32)
-    tmp = jnp.einsum("byxc,bxw->bywc", g, cx)
-    d_features = jnp.einsum("byh,bywc->hwc", ry, tmp)
-    return d_features.astype(features.dtype), jnp.zeros_like(boxes)
+    # Differentiate the einsum formulation (same math as the kernel) wrt
+    # BOTH features and boxes: grid_sample is differentiable in the box
+    # coordinates, and the reference's RPN trains end-to-end through the
+    # bilinear sampler (DenseCap's core idea) — box grads must not be
+    # dropped.
+    _, vjp = jax.vjp(
+        lambda f, b: roi_align(f, b, image_hw, out_hw), features, boxes)
+    d_features, d_boxes = vjp(g.astype(jnp.float32))
+    return d_features.astype(features.dtype), d_boxes.astype(boxes.dtype)
 
 
 roi_align_pallas.defvjp(_fwd, _bwd)
@@ -230,13 +233,13 @@ def _bfwd(features, boxes, image_hw, out_hw):
 
 def _bbwd(image_hw, out_hw, res, g):
     features, boxes = res
-    n, hf, wf, c = features.shape
-    ry, cx = jax.vmap(
-        lambda bx: roi_weights(bx, image_hw, (hf, wf), out_hw))(boxes)
-    g = g.astype(jnp.float32)                       # (N, R, oh, ow, C)
-    tmp = jnp.einsum("nryxc,nrxw->nrywc", g, cx)
-    d_features = jnp.einsum("nryh,nrywc->nhwc", ry, tmp)
-    return d_features.astype(features.dtype), jnp.zeros_like(boxes)
+    # Same as _bwd: einsum-composition VJP wrt features AND boxes (the
+    # RPN trains through the sampler's box coordinates).
+    _, vjp = jax.vjp(
+        lambda f, b: roi_align_batch(f, b, image_hw, out_hw),
+        features, boxes)
+    d_features, d_boxes = vjp(g.astype(jnp.float32))
+    return d_features.astype(features.dtype), d_boxes.astype(boxes.dtype)
 
 
 roi_align_batch_pallas.defvjp(_bfwd, _bbwd)

@@ -325,3 +325,79 @@ class TestSamplerReplacementSemantics:
                            jnp.asarray([False]),   # no real GT
                            num_pos=2, num_neg=2)
         assert not np.asarray(res.pos_mask).any()
+
+
+class TestRoiBoxGradients:
+    """The bilinear sampler must be differentiable in the BOX COORDS —
+    DenseCap trains its RPN end-to-end through the sampler. Pin the
+    einsum formulation's box gradient against torch autograd through
+    affine_grid/grid_sample, and require the Pallas custom_vjp to
+    produce the same (not zero)."""
+
+    def _torch_box_grad(self, feat_hwc, box, image_hw, g, out=7):
+        H, W = image_hw
+        f = torch.from_numpy(
+            np.asarray(feat_hwc).transpose(2, 0, 1))[None].double()
+        xc, yc, w, h = [torch.tensor(float(v), dtype=torch.float64,
+                                     requires_grad=True) for v in box]
+        theta = torch.stack([
+            torch.stack([w / W, torch.zeros((), dtype=torch.float64),
+                         (xc * 2 - 1 - W) / (W - 1)]),
+            torch.stack([torch.zeros((), dtype=torch.float64), h / H,
+                         (yc * 2 - 1 - H) / (H - 1)]),
+        ])[None]
+        grid = F.affine_grid(theta, [1, 1, out, out], align_corners=False)
+        s = F.grid_sample(f, grid, align_corners=False)
+        loss = (s[0].permute(1, 2, 0) * torch.from_numpy(g).double()).sum()
+        loss.backward()
+        return np.array([xc.grad, yc.grad, w.grad, h.grad])
+
+    def test_einsum_box_grad_matches_torch(self):
+        rng = np.random.RandomState(7)
+        feat = rng.rand(12, 16, 3).astype(np.float32)
+        image_hw = (192.0, 256.0)
+        boxes = np.array([[120.3, 80.7, 55.2, 48.9],
+                          [60.0, 100.5, 33.3, 71.1]], np.float32)
+        g = rng.rand(2, 7, 7, 3).astype(np.float32)
+
+        def loss_fn(b):
+            out = roi_align(jnp.asarray(feat), b, image_hw)
+            return jnp.sum(out * jnp.asarray(g))
+
+        got = np.asarray(jax.grad(loss_fn)(jnp.asarray(boxes)))
+        for i in range(2):
+            want = self._torch_box_grad(feat, boxes[i], image_hw, g[i])
+            np.testing.assert_allclose(got[i], want, rtol=1e-3, atol=1e-4)
+
+    def test_pallas_vjp_matches_einsum(self, monkeypatch):
+        from imagecaptioning_tpu.ops import roi_align as ra
+
+        rng = np.random.RandomState(8)
+        feat = rng.rand(8, 8, 4).astype(np.float32)
+        image_hw = (128.0, 128.0)
+        boxes = np.array([[60.0, 70.0, 40.0, 30.0]], np.float32)
+        g = rng.rand(1, 7, 7, 4).astype(np.float32)
+
+        # CPU test: route the kernel forward through interpret mode; the
+        # custom-vjp backward under test is backend-independent.
+        orig = ra.roi_align_pallas_fwd
+        monkeypatch.setattr(
+            ra, "roi_align_pallas_fwd",
+            lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+        def loss_e(f, b):
+            return jnp.sum(ra.roi_align(f, b, image_hw) * jnp.asarray(g))
+
+        def loss_p(f, b):
+            return jnp.sum(ra.roi_align_pallas(f, b, image_hw)
+                           * jnp.asarray(g))
+
+        fe, be = jax.grad(loss_e, argnums=(0, 1))(jnp.asarray(feat),
+                                                  jnp.asarray(boxes))
+        fp, bp = jax.grad(loss_p, argnums=(0, 1))(jnp.asarray(feat),
+                                                  jnp.asarray(boxes))
+        np.testing.assert_allclose(np.asarray(fp), np.asarray(fe),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(bp), np.asarray(be),
+                                   rtol=1e-5, atol=1e-6)
+        assert np.abs(np.asarray(be)).max() > 0   # grads actually flow
