@@ -111,11 +111,14 @@ class AttentionHead(nn.Module):
         self.out_kernel = self.param("deep_output_kernel", _linear_init, (h, v3))
         self.out_bias = self.param("deep_output_bias", nn.initializers.zeros,
                                    (v3,))
-        bound_init = lambda rng, shape: _linear_init(rng, shape)
-        self.w_ih = self.param("cell_w_ih", bound_init, (4 * h, w + d))
-        self.w_hh = self.param("cell_w_hh", bound_init, (4 * h, h))
-        self.b_ih = self.param("cell_b_ih", bound_init, (4 * h,))
-        self.b_hh = self.param("cell_b_hh", bound_init, (4 * h,))
+        # torch LSTMCell init: EVERY param ~ U(-1/sqrt(hidden), 1/sqrt(hidden))
+        cell_bound = 1.0 / jnp.sqrt(h)
+        cell_init = lambda rng, shape: jax.random.uniform(
+            rng, shape, minval=-cell_bound, maxval=cell_bound)
+        self.w_ih = self.param("cell_w_ih", cell_init, (4 * h, w + d))
+        self.w_hh = self.param("cell_w_hh", cell_init, (4 * h, h))
+        self.b_ih = self.param("cell_b_ih", cell_init, (4 * h,))
+        self.b_hh = self.param("cell_b_hh", cell_init, (4 * h,))
 
     def init_state(self, img_features):
         avg = img_features.mean(axis=1)
