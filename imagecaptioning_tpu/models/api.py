@@ -104,7 +104,14 @@ def make_forward_fn(model) -> Callable:
 
     def forward(variables, images, gt, rng=None, train: bool = False):
         rngs = {"dropout": rng} if (train and rng is not None) else None
-        out = model.apply(variables, images, gt, train=train, rngs=rngs)
+        if train and "batch_stats" in variables:
+            # unfrozen-encoder training runs BN in batch mode and updates
+            # running stats; as a pure loss fn we allow and discard the
+            # mutation (the train step threads it into TrainState).
+            out, _ = model.apply(variables, images, gt, train=True,
+                                 rngs=rngs, mutable=["batch_stats"])
+        else:
+            out = model.apply(variables, images, gt, train=train, rngs=rngs)
         loss = model.loss(out, gt)
         return loss, out
     return forward

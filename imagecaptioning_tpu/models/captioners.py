@@ -56,10 +56,14 @@ def _flatten_grid(feat: jnp.ndarray) -> jnp.ndarray:
 class _CNNEncoderMixin:
     """Shared ResNet/VGG encoder selection (LSTMModel.py:18-27).
 
-    BatchNorm note: the backbone always runs with frozen (running)
-    statistics — "BN-freeze finetuning". The reference leaves torch BN
-    in train mode even while the CNN is frozen, silently drifting the
-    running stats (train_LSTM.py:48-54); we do not reproduce that bug.
+    BatchNorm semantics: while the CNN trains (finetune phase,
+    `freeze_encoder=False` and `train=True`), BN runs in torch train
+    mode — batch statistics normalize the forward pass and the running
+    stats update (threaded by the train step via `mutable=
+    ['batch_stats']`). Frozen phase and eval use running statistics.
+    The reference additionally leaves BN in train mode while the CNN is
+    FROZEN, silently drifting the running stats (train_LSTM.py:48-54);
+    that bug we deliberately do not reproduce (PARITY.md).
 
     `freeze_encoder=True` reproduces the reference's frozen-CNN phase
     exactly (`requires_grad_(False)`, train_LSTM.py:48): gradients stop
@@ -72,6 +76,10 @@ class _CNNEncoderMixin:
             return VGGFeatures(dtype=self.compute_dtype), 512
         return (ResNetFeatures(stage_sizes=self.backbone_stages,
                                dtype=self.compute_dtype), 2048)
+
+    def _encoder_train(self, train: bool) -> bool:
+        """True only in the finetune phase: batch-mode BN + stat updates."""
+        return bool(train) and not getattr(self, "freeze_encoder", False)
 
     def _maybe_stop_gradient(self, feats):
         if getattr(self, "freeze_encoder", False):
@@ -100,8 +108,9 @@ class LSTMCaptioner(nn.Module, _CNNEncoderMixin):
             dropout=self.dropout)
 
     def encode(self, images, train: bool = False):
-        feats = _flatten_grid(self.features(images, train=False)
-                              .astype(jnp.float32))
+        feats = _flatten_grid(
+            self.features(images, train=self._encoder_train(train))
+            .astype(jnp.float32))
         return self._maybe_stop_gradient(feats)
 
     def __call__(self, images, gt, train: bool = False) -> TrainOutput:
@@ -144,8 +153,9 @@ class AttentionCaptioner(nn.Module, _CNNEncoderMixin):
             dropout=self.dropout)
 
     def encode(self, images, train: bool = False):
-        feats = _flatten_grid(self.features(images, train=False)
-                              .astype(jnp.float32))
+        feats = _flatten_grid(
+            self.features(images, train=self._encoder_train(train))
+            .astype(jnp.float32))
         return self._maybe_stop_gradient(feats)
 
     def __call__(self, images, gt, train: bool = False) -> TrainOutput:
@@ -197,8 +207,9 @@ class TransformerCaptioner(nn.Module, _CNNEncoderMixin):
             max_length=self.max_length + 1)
 
     def encode(self, images, train: bool = False):
-        grid = _flatten_grid(self.features(images, train=False)
-                             .astype(jnp.float32))
+        grid = _flatten_grid(
+            self.features(images, train=self._encoder_train(train))
+            .astype(jnp.float32))
         grid = self._maybe_stop_gradient(grid)
         word_vec = nn.relu(self.fc(grid))
         return self.encoder(word_vec, None, deterministic=not train)

@@ -58,17 +58,25 @@ def make_train_step(model, tx,
         def loss_fn(params):
             variables = {"params": params}
             if state.batch_stats:
+                # torch train-mode BN during finetuning: batch statistics
+                # in the forward, running stats updated (the model only
+                # actually mutates them when its encoder is unfrozen).
                 variables["batch_stats"] = state.batch_stats
-            loss, out = forward(variables, x, gt, rng=step_rng, train=True)
-            return loss, out
+                out, mutated = model.apply(
+                    variables, x, gt, train=True,
+                    rngs={"dropout": step_rng}, mutable=["batch_stats"])
+                loss = model.loss(out, gt)
+                return loss, mutated.get("batch_stats", state.batch_stats)
+            loss, _ = forward(variables, x, gt, rng=step_rng, train=True)
+            return loss, state.batch_stats
 
-        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)
         new_state = TrainState(state.step + 1, params, opt_state,
-                               state.batch_stats, rng)
+                               new_stats, rng)
         return new_state, {"loss": loss, "grad_norm": gnorm}
 
     return train_step
