@@ -77,21 +77,83 @@ def caption_alexcap(args) -> dict:
     return {os.path.basename(p): c for p, c in zip(paths, captions)}
 
 
+def caption_dense(args) -> dict:
+    """Dense mode: caption proposed regions of each image (the
+    reference's inference-from-file path, `DataLoader.py:170-186`, with
+    our pluggable proposers instead of the YOLO hub download). Images
+    are padded onto a fixed 720x720 canvas and region slabs to
+    `--max-regions`, so one compiled program serves every image."""
+    import jax.numpy as jnp
+
+    from imagecaptioning_tpu.config.dense_configs import get_gt_config
+    from imagecaptioning_tpu.data.proposals import ImageProcessor
+    from imagecaptioning_tpu.models import api
+    from imagecaptioning_tpu.train.dense_driver import build_gt_model
+    from imagecaptioning_tpu.utils import checkpoint as ckptlib
+
+    vocab = load_vocab(args.dicts)
+    cfg = get_gt_config()
+    if args.set:
+        overrides = dict(kv.split("=", 1) for kv in args.set)
+        for k, v in overrides.items():
+            cur = getattr(cfg, k)
+            if isinstance(cur, bool):
+                v = v.lower() in ("1", "true", "yes", "on")
+            elif isinstance(cur, (int, float)):
+                v = type(cur)(v)
+            cfg = cfg.replace(**{k: v})
+    model = build_gt_model(cfg, vocab.vocab_size, args.seq_length)
+    params, _ = ckptlib.restore_params(args.ckpt)
+    proc = ImageProcessor()
+    if args.beam > 1:
+        beam = api.make_region_beam_fn(model, args.seq_length + 1,
+                                       args.beam)
+        decode = lambda v, x, b: beam(v, x, b).tokens[:, 0]
+    else:
+        decode = api.make_region_greedy_fn(model, args.seq_length + 1)
+
+    canvas, rmax = 720, args.max_regions
+    paths = sorted(
+        os.path.join(args.images, f) for f in os.listdir(args.images)
+        if f.lower().endswith((".jpg", ".jpeg", ".png")))
+    if not paths:
+        raise SystemExit(f"no images in {args.images}")
+    out = {}
+    for path in paths:
+        x, boxes = proc.preprocess_img(path)      # (1, H, W, 3), (1, R, 4)
+        h, w = x.shape[1:3]
+        xp = np.zeros((1, canvas, canvas, 3), np.float32)
+        xp[0, :h, :w] = x[0]
+        b = boxes[0][:rmax]
+        n_real = b.shape[0]
+        bp = np.full((rmax, 4), 1.0, np.float32)  # degenerate pad boxes
+        bp[:n_real] = b
+        toks = decode({"params": params}, jnp.asarray(xp),
+                      jnp.asarray(bp[None]))
+        caps = vocab.decode_sequence(np.asarray(toks).reshape(rmax, -1))
+        out[os.path.basename(path)] = [
+            {"box_xcycwh": [float(v) for v in bp[i]], "caption": caps[i]}
+            for i in range(n_real)]
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model-type", default="lstm",
                    choices=["lstm", "lstm_attention", "transformer",
-                            "vitb"])
+                            "vitb", "gt"])
     p.add_argument("--ckpt", required=True)
     p.add_argument("--dicts", required=True)
     p.add_argument("--images", required=True)
     p.add_argument("--seq-length", type=int, default=16)
     p.add_argument("--beam", type=int, default=1)
+    p.add_argument("--max-regions", type=int, default=32,
+                   help="dense mode: region-slab budget per image")
     p.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE",
                    help="config overrides (must match the checkpoint)")
     p.add_argument("--out", default="")
     a = p.parse_args(argv)
-    result = caption_alexcap(a)
+    result = caption_dense(a) if a.model_type == "gt" else caption_alexcap(a)
     text = json.dumps(result, indent=2)
     if a.out:
         with open(a.out, "w") as f:

@@ -67,3 +67,54 @@ def test_restore_params_shapes(trained):
 def jax_leaves(tree):
     import jax
     return jax.tree.leaves(tree)
+
+
+@pytest.fixture(scope="module")
+def trained_dense(tmp_path_factory):
+    root = tmp_path_factory.mktemp("infer_gt")
+    from imagecaptioning_tpu.config.dense_configs import get_gt_config
+    from imagecaptioning_tpu.train import dense_driver
+    from imagecaptioning_tpu.utils import checkpoint as ckptlib
+
+    cfg = get_gt_config().replace(
+        batch_size=2, max_regions=3, vgg_stages=2, use_lstm=True,
+        save_checkpoint_every=2, compute_dtype="float32",
+        input_encoding_size=32, rnn_size=32,
+        save_path=str(root / "gt.ckpt"),
+        loss_file=str(root / "loss.json"),
+        result_file=str(root / "results.json"))
+    out = dense_driver.train_gt(cfg, max_iter_override=2,
+                                eval_every_override=2,
+                                synthetic_images=8, verbose=False)
+    # eval may not have saved (map can be 0); write the state explicitly
+    ckptlib.save_checkpoint(str(root / "gt.ckpt"), out["state"])
+    # dicts JSON for the synthetic VG vocab
+    loader = out["loader"]
+    dicts = {"token_to_idx": loader.vocab.token_to_idx,
+             "idx_to_token": {str(v): k for k, v
+                              in loader.vocab.token_to_idx.items()}}
+    with open(root / "dicts.json", "w") as f:
+        json.dump(dicts, f)
+    imdir = root / "photos"
+    imdir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        Image.fromarray(
+            rng.randint(0, 255, size=(120, 160, 3), dtype=np.uint8)
+        ).save(str(imdir / f"d{i}.jpg"))
+    return root, str(imdir), out
+
+def test_infer_dense_regions(trained_dense):
+    import infer
+    root, imdir, out = trained_dense
+    res = infer.main([
+        "--model-type", "gt", "--ckpt", str(root / "gt.ckpt"),
+        "--dicts", str(root / "dicts.json"), "--images", imdir,
+        "--seq-length", str(out["loader"].getSeqLength()),
+        "--max-regions", "4",
+        "--set", "vgg_stages=2", "input_encoding_size=32",
+        "rnn_size=32", "use_lstm=true"])
+    assert len(res) == 2
+    for regions in res.values():
+        assert regions and all("caption" in r and len(r["box_xcycwh"]) == 4
+                               for r in regions)
