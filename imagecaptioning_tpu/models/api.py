@@ -45,6 +45,49 @@ def init_cache(model, params, enc: jnp.ndarray, max_steps: int):
     return variables["cache"]
 
 
+def _partition_carry(carry):
+    """Split a decode carry into (variant, invariant) parts. Invariant =
+    beam-independent tensors: the encoder conditioning ('enc'/'feats')
+    and the cached cross-attention k/v ('cross_*' leaves) — every beam
+    of a batch element holds identical copies, so gathering them with
+    the parent indices each beam step is pure wasted HBM bandwidth."""
+    def walk(d, top):
+        var, inv = {}, {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                v1, v2 = walk(v, False)
+                if v1:
+                    var[k] = v1
+                if v2:
+                    inv[k] = v2
+            elif (top and k in ("enc", "feats")) or k.startswith("cross_"):
+                inv[k] = v
+            else:
+                var[k] = v
+        return var, inv
+    return walk(carry, True)
+
+
+def _merge_carry(a, b):
+    out = dict(a)
+    for k, v in b.items():
+        out[k] = (_merge_carry(out[k], v)
+                  if k in out and isinstance(v, dict) else v)
+    return out
+
+
+def _beam_invariant_step(init_carry, step, enc_k, max_steps):
+    """Build (variant_carry, step_fn) with invariants closed over."""
+    carry = init_carry(enc_k, max_steps)
+    variant, invariant = _partition_carry(carry)
+
+    def step2(c, toks, t):
+        full, logits, alphas = step(_merge_carry(c, invariant), toks, t)
+        new_variant, _ = _partition_carry(full)
+        return new_variant, logits, alphas
+    return variant, step2
+
+
 def _lstm_carry_to_batch_major(state):
     h, c = state
     return (jnp.swapaxes(h, 0, 1), jnp.swapaxes(c, 0, 1))
@@ -150,7 +193,8 @@ def make_beam_fn(model, max_steps: int, beam_size: int,
         feats = model.apply(variables, images, method=model.encode)
         init_carry, step = make_step_fn(model, params)
         feats_k = decoding.expand_for_beams(feats, beam_size)
-        carry = init_carry(feats_k, max_steps)
+        carry, step = _beam_invariant_step(init_carry, step, feats_k,
+                                           max_steps)
         return decoding.beam_search(
             step, carry, images.shape[0], beam_size,
             start_token=model.vocab_size + 1,
@@ -225,7 +269,8 @@ def make_region_beam_fn(model, max_steps: int, beam_size: int,
                                method=model.encode_flat)
         init_carry, step = _make_region_step(model, params)
         enc_k = decoding.expand_for_beams(flat_enc, beam_size)
-        carry = init_carry(enc_k, max_steps)
+        carry, step = _beam_invariant_step(init_carry, step, enc_k,
+                                           max_steps)
         return decoding.beam_search(
             step, carry, flat_enc.shape[0], beam_size,
             start_token=model.spec.start, end_token=model.spec.end,

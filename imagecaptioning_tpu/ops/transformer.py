@@ -57,23 +57,34 @@ class MultiHeadAttention(nn.Module):
     heads: int
 
     @nn.compact
-    def __call__(self, values, keys, query, mask=None, *, decode: bool = False):
+    def __call__(self, values, keys, query, mask=None, *, decode: bool = False,
+                 cross_decode: bool = False):
         h = self.heads
         d = self.embed_size // h
         assert d * h == self.embed_size
 
         dense = lambda name, bias: nn.Dense(self.embed_size, use_bias=bias,
                                             name=name)
-        v = dense("values", False)(values)
-        k = dense("keys", False)(keys)
-        q = dense("queries", False)(query)
+        n = query.shape[0]
+        q = dense("queries", False)(query).reshape(n, -1, h, d)
 
-        n = q.shape[0]
-        v = v.reshape(n, -1, h, d)
-        k = k.reshape(n, -1, h, d)
-        q = q.reshape(n, -1, h, d)
+        if cross_decode:
+            # Cached cross-attention: the encoder k/v projections are
+            # constant over decode steps — computed once on the cache-init
+            # trace, reused every step (the reference recomputes them per
+            # step, TransformerModule.py:376-388; so did we before this).
+            cached_k = self.variable(
+                "cache", "cross_key",
+                lambda: dense("keys", False)(keys).reshape(n, -1, h, d))
+            cached_v = self.variable(
+                "cache", "cross_value",
+                lambda: dense("values", False)(values).reshape(n, -1, h, d))
+            k, v = cached_k.value, cached_v.value
+        else:
+            v = dense("values", False)(values).reshape(n, -1, h, d)
+            k = dense("keys", False)(keys).reshape(n, -1, h, d)
 
-        if decode:
+        if decode and not cross_decode:
             # Cached autoregressive step: append this step's k/v at
             # cache_index, attend over the valid prefix. The cache is
             # shaped at init time by tracing once with the full-length
@@ -121,10 +132,12 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, value, key, query, mask=None, *,
-                 deterministic: bool = True, decode: bool = False):
+                 deterministic: bool = True, decode: bool = False,
+                 cross_decode: bool = False):
         attn, alphas = MultiHeadAttention(self.embed_size, self.heads,
                                           name="attention")(
-            value, key, query, mask, decode=decode)
+            value, key, query, mask, decode=decode,
+            cross_decode=cross_decode)
         x = nn.LayerNorm(name="norm1")(attn + query)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         f = nn.Dense(self.forward_expansion * self.embed_size, name="ff1")(x)
@@ -182,7 +195,8 @@ class DecoderBlock(nn.Module):
         out, alphas = TransformerBlock(
             self.embed_size, self.heads, self.dropout,
             self.forward_expansion, name="transformer_block")(
-            enc_out, enc_out, query, src_mask, deterministic=deterministic)
+            enc_out, enc_out, query, src_mask, deterministic=deterministic,
+            cross_decode=decode)
         return out, alphas
 
 
