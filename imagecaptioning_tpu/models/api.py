@@ -60,7 +60,7 @@ def _partition_carry(carry):
                     var[k] = v1
                 if v2:
                     inv[k] = v2
-            elif (top and k in ("enc", "feats")) or k.startswith("cross_"):
+            elif (top and k in ("enc", "feats", "w_s")) or k.startswith("cross_"):
                 inv[k] = v
             else:
                 var[k] = v
@@ -117,15 +117,17 @@ def make_step_fn(model, params) -> Tuple[Callable, Callable]:
 
     if isinstance(model, AttentionCaptioner):
         def init_carry(feats, max_steps):
-            feats2, state = model.apply({"params": params}, feats,
-                                        method=model.init_decode)
-            return {"feats": feats2, "state": state}
+            feats2, w_s, state = model.apply({"params": params}, feats,
+                                             method=model.init_decode)
+            return {"feats": feats2, "w_s": w_s, "state": state}
 
         def step(carry, toks, t):
-            (feats, state), logits, alphas = model.apply(
-                {"params": params}, (carry["feats"], carry["state"]),
+            (feats, w_s, state), logits, alphas = model.apply(
+                {"params": params},
+                (carry["feats"], carry["w_s"], carry["state"]),
                 toks, t, method=model.decode_step)
-            return {"feats": feats, "state": state}, logits, alphas
+            return ({"feats": feats, "w_s": w_s, "state": state},
+                    logits, alphas)
         return init_carry, step
 
     # LSTM family: carry (h, c) stored batch-major.

@@ -165,12 +165,13 @@ class AttentionCaptioner(nn.Module, _CNNEncoderMixin):
         return TrainOutput(logits, alphas)
 
     def init_decode(self, feats):
-        return (feats, self.llm.init_state(feats))
+        return (feats, self.llm.attention_keys(feats),
+                self.llm.init_state(feats))
 
     def decode_step(self, carry, toks, t):
-        feats, state = carry
-        logits, alpha, state = self.llm.step(feats, toks, state)
-        return (feats, state), logits, alpha
+        feats, w_s, state = carry
+        logits, alpha, state = self.llm.step(feats, toks, state, w_s=w_s)
+        return (feats, w_s, state), logits, alpha
 
     def loss(self, out: TrainOutput, gt) -> jnp.ndarray:
         target = tokens.decoder_target(gt, self.vocab_size + 2, scan_from=1)

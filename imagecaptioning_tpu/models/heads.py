@@ -171,9 +171,17 @@ class AttentionHead(nn.Module):
         _, (logits_t, alphas_t) = jax.lax.scan(body, state, (ts, embs_t))
         return jnp.swapaxes(logits_t, 0, 1), jnp.swapaxes(alphas_t, 0, 1)
 
-    def step(self, img_features, tokens, state):
-        """One decode step (deterministic)."""
+    def attention_keys(self, img_features):
+        """W·feat — constant over decode steps; precompute once and pass
+        into `step` instead of recomputing the (B, P, D)×(D, H) matmul
+        every step."""
+        return self._w_s(img_features)
+
+    def step(self, img_features, tokens, state, w_s=None):
+        """One decode step (deterministic). `w_s`: precomputed
+        `attention_keys` (computed here when omitted)."""
         emb = self.embedding(tokens)[:, 0]
-        w_s = self._w_s(img_features)
+        if w_s is None:
+            w_s = self._w_s(img_features)
         logits, alpha, state = self._cell(w_s, img_features, emb, state)
         return logits, alpha, state
