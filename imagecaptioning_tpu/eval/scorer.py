@@ -48,17 +48,41 @@ def _score_pair(candidate: str, references: Sequence[str]):
     return float(meteor), float(bleu)
 
 
+def _corpus_scores(records: Sequence[Dict]) -> Dict:
+    """Corpus-level BLEU-4 + CIDEr-D (the BASELINE.json harness metrics;
+    the reference computes neither). BLEU-4 is NLTK `corpus_bleu` with
+    method1 epsilon-smoothing (guards log(0) on tiny corpora)."""
+    from nltk.translate.bleu_score import SmoothingFunction, corpus_bleu
+
+    from imagecaptioning_tpu.eval.cider import CiderD
+
+    cands = [r["candidate"].split() for r in records]
+    refs = [[x.split() for x in r["references"]] for r in records]
+    pairs = [(c, rs) for c, rs in zip(cands, refs) if c and any(rs)]
+    if not pairs:
+        return {"bleu4": 0.0, "cider": 0.0}
+    bleu4 = float(corpus_bleu(
+        [rs for _, rs in pairs], [c for c, _ in pairs],
+        smoothing_function=SmoothingFunction().method1))
+    cider = CiderD()
+    for c, rs in pairs:
+        cider.add(c, rs)
+    return {"bleu4": bleu4, "cider": cider.compute()[0]}
+
+
 def score_captions(records: Sequence[Dict], num_workers: int = 8) -> Dict:
     """records: [{'candidate': str, 'references': [str, ...]}, ...] →
-    {'meteor': mean, 'bleu': mean}."""
+    {'meteor': mean, 'bleu': mean sentence-BLEU (reference protocol),
+    'bleu4': corpus BLEU-4, 'cider': CIDEr-D}."""
     if not records:
-        return {"meteor": 0.0, "bleu": 0.0}
+        return {"meteor": 0.0, "bleu": 0.0, "bleu4": 0.0, "cider": 0.0}
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
         scores = list(pool.map(
             lambda r: _score_pair(r["candidate"], r["references"]), records))
     n = len(scores)
     return {"meteor": sum(s[0] for s in scores) / n,
-            "bleu": sum(s[1] for s in scores) / n}
+            "bleu": sum(s[1] for s in scores) / n,
+            **_corpus_scores(records)}
 
 
 @dataclass
