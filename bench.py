@@ -88,6 +88,7 @@ def bench_dense(args):
     b, r, s = args.batch_size, args.max_regions, args.image_size
     cfg = get_gt_config().replace(
         batch_size=b, max_regions=r, use_lstm=True,
+        use_pallas_roi=args.pallas_roi,
         compute_dtype="float32" if args.fp32 else "bfloat16")
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     model = dense_driver.build_gt_model(cfg, vocab_size=args.vocab,
@@ -201,6 +202,9 @@ def main():
     ap.add_argument("--metric", choices=["train", "decode", "dense"],
                     default="train")
     ap.add_argument("--max-regions", type=int, default=32)
+    ap.add_argument("--pallas-roi", action="store_true",
+                    help="dense metric: explicit Pallas ROI kernel "
+                         "instead of the einsum form")
     ap.add_argument("--image-size", type=int, default=512)
     ap.add_argument("--steps-per-call", type=int, default=20,
                     help="train steps fused into one XLA program via "
