@@ -181,7 +181,7 @@ def _family_table():
             make=lambda v, t, d: ViTCaptioner(
                 vocab_size=v, max_length=t, dropout=0.1,
                 compute_dtype=d, freeze_encoder=True),
-            cfg=get_vitb_config, batch=64,
+            cfg=get_vitb_config, batch=128,
             metric="vitb16_train_images_per_sec", baseline=14.0),
     }
 
