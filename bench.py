@@ -181,7 +181,7 @@ def _family_table():
             make=lambda v, t, d: ViTCaptioner(
                 vocab_size=v, max_length=t, dropout=0.1,
                 compute_dtype=d, freeze_encoder=True),
-            cfg=get_vitb_config, batch=128,
+            cfg=get_vitb_config, batch=128, decode_batch=64,
             metric="vitb16_train_images_per_sec", baseline=14.0),
     }
 
@@ -217,7 +217,8 @@ def main():
         return bench_dense(args)
     fam = _family_table()[args.family]
     if args.batch_size is None:
-        args.batch_size = fam["batch"]
+        args.batch_size = (fam.get("decode_batch", fam["batch"])
+                           if args.metric == "decode" else fam["batch"])
     if args.metric == "decode":
         return bench_decode(args)
 
