@@ -146,6 +146,44 @@ def bench_dense(args):
     }))
 
 
+def bench_input(args):
+    """Host input pipeline: RAM-cached uint8 store -> C++ fastloader
+    multi-threaded gather -> stacked batches, via the background
+    prefetch thread (the path that feeds the jitted step in training).
+    Measured host-side (no device transfer): through the remote TPU
+    relay a device_put is tunnel-bound and unrepresentative of a real
+    host-attached chip; the train metric already covers on-device
+    preprocessing."""
+    from imagecaptioning_tpu.data import synthetic
+    from imagecaptioning_tpu.data.loader import (AlexDataLoader,
+                                                 prefetch_batches)
+
+    arrays, info = synthetic.make_face2text_arrays(
+        num_images=args.input_images, seed=0)
+    loader = AlexDataLoader(arrays=arrays, info=info)
+    b = args.batch_size
+
+    def epochs():
+        while True:
+            yield from loader.epoch_batches(0, b)
+
+    it = prefetch_batches(epochs(), size=4, device_put=lambda x: x)
+    for _ in range(args.warmup):
+        next(it)
+    t0 = time.perf_counter()
+    n = 0
+    for _ in range(args.steps):
+        images, labels = next(it)
+        n += images.shape[0]
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "host_input_pipeline_images_per_sec",
+        "value": round(n / dt, 2),
+        "unit": "images/sec",
+        "vs_baseline": None,
+    }))
+
+
 # Per-family definitions: model factory, default batch, metric name, and
 # the reference's measured img/s where one exists (BASELINE.md — the
 # reference only timed the LSTM and ViT-B families).
@@ -199,8 +237,11 @@ def main():
     ap.add_argument("--seq-length", type=int, default=16)
     ap.add_argument("--beam-size", type=int, default=3)
     ap.add_argument("--fp32", action="store_true")
-    ap.add_argument("--metric", choices=["train", "decode", "dense"],
+    ap.add_argument("--metric",
+                    choices=["train", "decode", "dense", "input"],
                     default="train")
+    ap.add_argument("--input-images", type=int, default=2048,
+                    help="input metric: synthetic store size")
     ap.add_argument("--max-regions", type=int, default=32)
     ap.add_argument("--pallas-roi", action="store_true",
                     help="dense metric: explicit Pallas ROI kernel "
@@ -215,6 +256,10 @@ def main():
         if args.batch_size is None:
             args.batch_size = 8
         return bench_dense(args)
+    if args.metric == "input":
+        if args.batch_size is None:
+            args.batch_size = 128
+        return bench_input(args)
     fam = _family_table()[args.family]
     if args.batch_size is None:
         args.batch_size = (fam.get("decode_batch", fam["batch"])
