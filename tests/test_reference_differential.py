@@ -25,6 +25,13 @@ pytestmark = pytest.mark.skipif(
 
 
 def _load_reference_module(relpath, name):
+    # several reference files import torchvision at module scope without
+    # using it on these code paths; torchvision is not installed here
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.models = types.ModuleType("torchvision.models")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv.models
     spec = importlib.util.spec_from_file_location(
         name, os.path.join(REF_ROOT, relpath))
     mod = importlib.util.module_from_spec(spec)
@@ -215,3 +222,299 @@ def test_face2text_preprocessor_matches_reference(f2t_raw):
                 for row in mat]
 
     assert decode(ref_labels, ref_dicts) == decode(our_labels, our_dicts)
+
+
+class TestReferenceLanguageModule:
+    """Differential: the reference's LSTM decoder (AlexCap/
+    LanguageModule.py, CPU-instantiable) with weights ported into our
+    LanguageHead — teacher-forced logits, target construction, and
+    greedy decode must agree."""
+
+    V, W, D, H, T, B, P = 20, 16, 32, 24, 7, 3, 5
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        import torch
+
+        import jax
+        import jax.numpy as jnp
+        from imagecaptioning_tpu.models.heads import LanguageHead
+        from imagecaptioning_tpu.utils import torch_port as tp
+
+        torch.manual_seed(0)
+        ref_mod = _load_reference_module("AlexCap/LanguageModule.py",
+                                         "ref_language_module")
+        ref = ref_mod.LanguageModel(
+            vocab_size=self.V, embedding_size=self.W,
+            image_vector_dim=self.D, rnn_size=self.H,
+            seq_length=self.T, num_layers=1,
+            idx_to_token={}, dropout=0.0, device="cpu")
+        ref.eval()
+        sd = ref.state_dict()
+
+        head = LanguageHead(vocab_size=self.V, embedding_size=self.W,
+                            rnn_size=self.H, num_layers=1, dropout=0.0)
+        params = {
+            "image_encoder": tp.convert_linear(sd, "image_encoder.encode"),
+            "lookup_table": tp.convert_embedding(sd, "lookup_table"),
+            "lstm": tp.convert_lstm(sd, "lstm", num_layers=1),
+            "linear": tp.convert_linear(sd, "rnn.linear"),
+        }
+        params = jax.tree.map(jnp.asarray, params)
+        return ref, head, params
+
+    def _inputs(self):
+        import torch
+        rng = np.random.RandomState(7)
+        img = rng.randn(self.B, self.P, self.D).astype(np.float32)
+        gt = rng.randint(1, self.V + 1,
+                         size=(self.B, self.T)).astype(np.int64)
+        gt[0, 4:] = 0                      # mid-sequence padding
+        gt[1, :] = rng.randint(1, self.V + 1, self.T)   # full row
+        return img, gt, torch
+
+    def test_teacher_forced_logits_match(self, pair):
+        import jax.numpy as jnp
+        from imagecaptioning_tpu.ops import tokens
+
+        ref, head, params = pair
+        img, gt, torch = self._inputs()
+        with torch.no_grad():
+            want = ref(torch.from_numpy(img),
+                       torch.from_numpy(gt)).numpy()
+        dec_in = tokens.decoder_input(jnp.asarray(gt.astype(np.int32)),
+                                      self.V + 1)
+        got = head.apply({"params": params}, jnp.asarray(img), dec_in,
+                         deterministic=True)
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_get_target_matches(self, pair):
+        import jax.numpy as jnp
+        from imagecaptioning_tpu.ops import tokens
+
+        ref, head, params = pair
+        _, gt, torch = self._inputs()
+        want_in = ref.get_target(torch.from_numpy(gt)).numpy()
+        want_tgt = ref.get_target(torch.from_numpy(gt),
+                                  make_target=True).numpy()
+        gt_j = jnp.asarray(gt.astype(np.int32))
+        np.testing.assert_array_equal(
+            np.asarray(tokens.decoder_input(gt_j, self.V + 1)), want_in)
+        np.testing.assert_array_equal(
+            np.asarray(tokens.decoder_target(gt_j, self.V + 2,
+                                             scan_from=1)), want_tgt)
+
+    def test_greedy_decode_matches(self, pair):
+        import jax.numpy as jnp
+        from imagecaptioning_tpu.models import decoding
+
+        ref, head, params = pair
+        img, _, torch = self._inputs()
+        with torch.no_grad():
+            want = ref.predict_caption(torch.from_numpy(img)).numpy()
+
+        state = head.apply({"params": params}, jnp.asarray(img),
+                           method=head.init_state)
+
+        def step(carry, toks, t):
+            logits, carry = head.apply({"params": params}, toks, carry,
+                                       method=head.step)
+            return carry, logits, jnp.zeros((toks.shape[0], 1),
+                                            jnp.float32)
+
+        got, _ = decoding.greedy_decode(step, state, self.B, self.V + 1,
+                                        self.T + 1)
+        got = np.asarray(got)
+        # the reference zeroes the tail after all rows emit END; compare
+        # per row up to and including the first END
+        for b in range(self.B):
+            w = want[b]
+            g = got[b]
+            end = self.V + 2
+            w_end = np.argmax(w == end) if (w == end).any() else len(w)
+            g_end = np.argmax(g == end) if (g == end).any() else len(g)
+            assert w_end == g_end, (b, w, g)
+            np.testing.assert_array_equal(g[:g_end], w[:w_end])
+
+
+class TestReferenceTransformerModule:
+    """Differential: the reference's from-scratch Transformer
+    (AlexCap/TransformerModule.py, device-parameterized) with weights
+    ported into ops/transformer — teacher-forced logits, target masks,
+    and our KV-CACHED greedy decode vs the reference's full-prefix
+    recomputation loop must agree."""
+
+    V, FC, E, L, HEADS, T, B, PATCH = 20, 32, 32, 2, 4, 7, 3, 3
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        import torch
+
+        import jax
+        import jax.numpy as jnp
+        from imagecaptioning_tpu.utils import torch_port as tp
+
+        torch.manual_seed(1)
+        ref_mod = _load_reference_module("AlexCap/TransformerModule.py",
+                                         "ref_transformer_module")
+        ref = ref_mod.Transformer(
+            src_vocab_size=self.V, fc_dim=self.FC, token_dict={},
+            max_length=self.T, patch_size=self.PATCH,
+            embed_size=self.E, num_layers=self.L, heads=self.HEADS,
+            forward_expansion=4, dropout=0.0, device="cpu")
+        ref.eval()
+        sd = ref.state_dict()
+
+        def norm(prefix):
+            return {"scale": np.asarray(sd[f"{prefix}.weight"]),
+                    "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+        def block(prefix):
+            return {
+                "attention": {
+                    "values": tp.convert_linear(sd, f"{prefix}.attention.values"),
+                    "keys": tp.convert_linear(sd, f"{prefix}.attention.keys"),
+                    "queries": tp.convert_linear(sd, f"{prefix}.attention.queries"),
+                    "fc_out": tp.convert_linear(sd, f"{prefix}.attention.fc_out"),
+                },
+                "norm1": norm(f"{prefix}.norm1"),
+                "norm2": norm(f"{prefix}.norm2"),
+                "ff1": tp.convert_linear(sd, f"{prefix}.feed_forward.0"),
+                "ff2": tp.convert_linear(sd, f"{prefix}.feed_forward.2"),
+            }
+
+        enc_params = {"position_embedding":
+                      np.asarray(sd["encoder.position_embedding.weight"])}
+        for i in range(self.L):
+            enc_params[f"layer_{i}"] = block(f"encoder.layers.{i}")
+        dec_params = {
+            "word_embedding": tp.convert_embedding(sd,
+                                                   "decoder.word_embedding"),
+            "position_embedding":
+                np.asarray(sd["decoder.position_embedding.weight"]),
+            "fc_out": tp.convert_linear(sd, "decoder.fc_out"),
+        }
+        for i in range(self.L):
+            dec_params[f"layer_{i}"] = {
+                "norm": norm(f"decoder.layers.{i}.norm"),
+                "attention": {
+                    "values": tp.convert_linear(
+                        sd, f"decoder.layers.{i}.attention.values"),
+                    "keys": tp.convert_linear(
+                        sd, f"decoder.layers.{i}.attention.keys"),
+                    "queries": tp.convert_linear(
+                        sd, f"decoder.layers.{i}.attention.queries"),
+                    "fc_out": tp.convert_linear(
+                        sd, f"decoder.layers.{i}.attention.fc_out"),
+                },
+                "transformer_block": block(
+                    f"decoder.layers.{i}.transformer_block"),
+            }
+        fc = tp.convert_linear(sd, "fc.0")
+        to_j = lambda tree: jax.tree.map(jnp.asarray, tree)
+        return ref, to_j(fc), to_j(enc_params), to_j(dec_params)
+
+    def _modules(self):
+        from imagecaptioning_tpu.ops.transformer import Decoder, Encoder
+        enc = Encoder(embed_size=self.E, num_layers=self.L,
+                      heads=self.HEADS, forward_expansion=4, dropout=0.0,
+                      patch_length=self.PATCH ** 2)
+        dec = Decoder(vocab_out=self.V + 3, embed_size=self.E,
+                      num_layers=self.L, heads=self.HEADS,
+                      forward_expansion=4, dropout=0.0,
+                      max_length=self.T + 1)
+        return enc, dec
+
+    def _inputs(self):
+        import torch
+        rng = np.random.RandomState(11)
+        grid = rng.randn(self.B, self.PATCH ** 2, self.FC).astype(np.float32)
+        gt = rng.randint(1, self.V + 1,
+                         size=(self.B, self.T)).astype(np.int64)
+        gt[0, 5:] = 0
+        return grid, gt, torch
+
+    def _encode(self, fc, enc_params, grid):
+        import jax.numpy as jnp
+        enc_mod, _ = self._modules()
+        word_vec = jnp.maximum(
+            jnp.asarray(grid) @ fc["kernel"] + fc["bias"], 0.0)
+        return enc_mod.apply({"params": enc_params}, word_vec, None,
+                             deterministic=True)
+
+    def test_teacher_forced_logits_match(self, pair):
+        import jax.numpy as jnp
+        from imagecaptioning_tpu.ops import tokens
+        from imagecaptioning_tpu.ops.transformer import make_trg_mask
+
+        ref, fc, enc_params, dec_params = pair
+        grid, gt, torch = self._inputs()
+        with torch.no_grad():
+            want = ref(torch.from_numpy(grid), torch.from_numpy(gt)).numpy()
+        _, dec_mod = self._modules()
+        enc = self._encode(fc, enc_params, grid)
+        dec_in = tokens.decoder_input(jnp.asarray(gt.astype(np.int32)),
+                                      self.V + 1)
+        logits, _ = dec_mod.apply({"params": dec_params}, dec_in, enc,
+                                  None, make_trg_mask(dec_in),
+                                  deterministic=True)
+        np.testing.assert_allclose(np.asarray(logits), want,
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_trg_mask_matches(self, pair):
+        import torch
+
+        import jax.numpy as jnp
+        from imagecaptioning_tpu.ops.transformer import make_trg_mask
+
+        ref, *_ = pair
+        _, gt, _ = self._inputs()
+        for key_masking in (True, False):
+            want = ref.make_trg_mask(torch.from_numpy(gt),
+                                     key_masking).numpy()
+            got = np.asarray(make_trg_mask(jnp.asarray(gt.astype(np.int32)),
+                                           key_masking))
+            np.testing.assert_array_equal(got, want)
+
+    def test_cached_greedy_matches_reference_loop(self, pair):
+        import torch
+
+        import jax
+        import jax.numpy as jnp
+        from imagecaptioning_tpu.models import decoding
+
+        ref, fc, enc_params, dec_params = pair
+        grid, _, _ = self._inputs()
+        with torch.no_grad():
+            want = ref(torch.from_numpy(grid),
+                       torch.empty(0)).numpy()        # greedy loop
+
+        _, dec_mod = self._modules()
+        enc = self._encode(fc, enc_params, grid)
+        max_steps = self.T + 1
+        toks0 = jnp.zeros((self.B, max_steps), jnp.int32)
+        _, variables = dec_mod.apply(
+            {"params": dec_params}, toks0, enc, None, None,
+            decode=True, decode_position=jnp.array(0, jnp.int32),
+            mutable=["cache"])
+        cache = variables["cache"]
+
+        def step(carry, toks, t):
+            (logits, _), mut = dec_mod.apply(
+                {"params": dec_params, "cache": carry}, toks, enc,
+                None, None, decode=True, decode_position=t,
+                mutable=["cache"])
+            return mut["cache"], logits[:, 0], jnp.zeros(
+                (toks.shape[0], 1), jnp.float32)
+
+        got, _ = decoding.greedy_decode(step, cache, self.B, self.V + 1,
+                                        max_steps)
+        got = np.asarray(got)
+        end = self.V + 2
+        for b in range(self.B):
+            w, g = want[b], got[b]
+            w_end = np.argmax(w == end) if (w == end).any() else len(w)
+            g_end = np.argmax(g == end) if (g == end).any() else len(g)
+            assert w_end == g_end, (b, w, g)
+            np.testing.assert_array_equal(g[:g_end], w[:w_end])
