@@ -64,15 +64,40 @@ def temporal_cross_entropy(logits: jnp.ndarray,
 def sum_cross_entropy(logits: jnp.ndarray,
                       targets: jnp.ndarray,
                       null_token: int = 0) -> jnp.ndarray:
-    """CE summed over non-NULL positions divided by the *total* number of
-    positions — DenseCap `CustomCrossEntropyLoss` (LSTMLoss.py:28-40)."""
+    """CE summed over non-NULL positions divided by the number of
+    non-NULL positions — DenseCap `CustomCrossEntropyLoss`
+    (LSTMLoss.py:28-40: `size = target.nonzero().numel() / 2` is the
+    non-zero count for a 2D target; differential-tested against the
+    reference module)."""
     logits = logits.astype(jnp.float32)
     c = logits.shape[-1]
     logp = jax.nn.log_softmax(logits.reshape(-1, c), axis=-1)
     t1d = targets.reshape(-1).astype(jnp.int32)
     nll = -jnp.take_along_axis(logp, t1d[:, None], axis=-1)[:, 0]
     mask = (t1d != null_token).astype(jnp.float32)
-    return (nll * mask).sum() / t1d.shape[0]
+    return (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def temporal_sum_cross_entropy(logits: jnp.ndarray,
+                               targets: jnp.ndarray,
+                               null_token: int = 0,
+                               batch_average: bool = True,
+                               time_average: bool = False) -> jnp.ndarray:
+    """DenseCap's `TemporalCrossEntropyLoss` (LSTMLoss.py:4-26, unused
+    in its live graph): masked NLL SUMMED, divided by N (batch_average)
+    and/or T (time_average) — not by the non-null count."""
+    logits = logits.astype(jnp.float32)
+    n, t = targets.shape
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32),
+                               axis=-1)[..., 0]
+    nll = jnp.where(targets != null_token, nll, 0.0)
+    total = nll.sum()
+    if batch_average:
+        total = total / n
+    if time_average:
+        total = total / t
+    return total
 
 
 def log_softmax_nll(logits: jnp.ndarray,
@@ -124,12 +149,18 @@ def box_regression_loss(pred_trans: jnp.ndarray,
                         max_trans: float = 10.0) -> jnp.ndarray:
     """Weighted smooth-L1 between predicted and target box transforms,
     zeroing rows where any |target| > max_trans (the reference's 'DIRTY
-    HACK' mask, BoxRegressionCriterion.py:18-25)."""
+    HACK' mask, BoxRegressionCriterion.py:18-25). The reference zeroes
+    the masked rows and then takes `nn.SmoothL1Loss()` (reduction
+    'mean' over ALL elements), so masked rows still count in the
+    denominator (differential-tested); padding rows (valid_mask=False,
+    our static-shape addition) do not."""
     pred_trans = pred_trans.astype(jnp.float32)
     target_trans = target_trans.astype(jnp.float32)
     sane = jnp.all(jnp.abs(target_trans) <= max_trans, axis=-1)
     if valid_mask is not None:
         sane = jnp.logical_and(sane, valid_mask)
+        denom = jnp.maximum(valid_mask.sum(), 1)
+    else:
+        denom = pred_trans.shape[0]
     per_box = smooth_l1(pred_trans - target_trans).mean(axis=-1)
-    denom = jnp.maximum(sane.sum(), 1)
     return weight * (per_box * sane).sum() / denom

@@ -662,3 +662,207 @@ class TestReferenceAttentionModule:
             g_end = np.argmax(g == end) if (g == end).any() else len(g)
             assert w_end == g_end, (b, w, g)
             np.testing.assert_array_equal(g[:g_end], w[:w_end])
+
+
+class TestReferenceDenseCapOps:
+    """Differential: the reference's DenseCap op modules (loaded with
+    their directory on sys.path for bare intra-package imports) vs our
+    jnp ops, on shared random inputs."""
+
+    @pytest.fixture(scope="class", autouse=True)
+    def _path(self):
+        d = os.path.join(REF_ROOT, "DenseCap", "densecap")
+        sys.path.insert(0, d)
+        yield
+        sys.path.remove(d)
+
+    def test_apply_and_invert_box_transform(self):
+        import torch
+
+        import jax.numpy as jnp
+        from imagecaptioning_tpu.ops import boxes as B
+        abt = _load_reference_module("DenseCap/densecap/ApplyBoxTransform.py",
+                                     "ref_abt").ApplyBoxTransform()
+        ibt = _load_reference_module("DenseCap/densecap/InvertBoxTransform.py",
+                                     "ref_ibt").InvertBoxTransform()
+        rng = np.random.RandomState(3)
+        anchors = (rng.rand(12, 4) * 50 + 20).astype(np.float32)
+        trans = (rng.randn(12, 4) * 0.3).astype(np.float32)
+        with torch.no_grad():
+            want = abt([torch.from_numpy(anchors),
+                        torch.from_numpy(trans)]).numpy()
+        got = np.asarray(B.apply_box_transform(jnp.asarray(anchors),
+                                               jnp.asarray(trans)))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        with torch.no_grad():
+            want_inv = ibt(torch.from_numpy(anchors),
+                           torch.from_numpy(want)).numpy()
+        got_inv = np.asarray(B.invert_box_transform(jnp.asarray(anchors),
+                                                    jnp.asarray(want)))
+        np.testing.assert_allclose(got_inv, want_inv, rtol=1e-4, atol=1e-5)
+
+    def test_box_to_affine_theta(self):
+        import torch
+
+        from imagecaptioning_tpu.ops.roi_align import roi_weights
+        bta = _load_reference_module("DenseCap/densecap/BoxToAffine.py",
+                                     "ref_bta").BoxToAffine()
+        H, W = 96.0, 128.0
+        bta.setSize(int(H), int(W))
+        boxes = np.asarray([[40.0, 30.0, 24.0, 18.0],
+                            [64.5, 48.25, 31.0, 47.5]], np.float32)
+        with torch.no_grad():
+            theta = bta(torch.from_numpy(boxes)).numpy()  # (B, 2, 3)
+        # our separable weights embed the same theta: recompute the
+        # normalized center/scale from theta and compare to the values
+        # roi_weights derives from (xc, w) directly
+        for i, (xc, yc, w, h) in enumerate(boxes):
+            np.testing.assert_allclose(theta[i, 0, 2],
+                                       (2 * xc - 1 - W) / (W - 1), rtol=1e-6)
+            np.testing.assert_allclose(theta[i, 1, 2],
+                                       (2 * yc - 1 - H) / (H - 1), rtol=1e-6)
+            np.testing.assert_allclose(theta[i, 0, 0], w / W, rtol=1e-6)
+            np.testing.assert_allclose(theta[i, 1, 1], h / H, rtol=1e-6)
+
+    def test_logistic_criterion(self):
+        import torch
+
+        import jax.numpy as jnp
+        from imagecaptioning_tpu.ops import losses
+        lc = _load_reference_module("DenseCap/densecap/LogisticCriterion.py",
+                                    "ref_lc").LogisticCriterion()
+        rng = np.random.RandomState(4)
+        scores = rng.randn(40, 1).astype(np.float32)
+        labels = rng.randint(0, 2, size=(40,)).astype(np.float32)
+        with torch.no_grad():
+            want = float(lc(torch.from_numpy(scores),
+                            torch.from_numpy(labels)))
+        got = float(losses.logistic_criterion(jnp.asarray(scores),
+                                              jnp.asarray(labels)))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_box_regression_criterion(self):
+        import torch
+
+        import jax.numpy as jnp
+        from imagecaptioning_tpu.ops import boxes as B
+        from imagecaptioning_tpu.ops import losses
+        brc_mod = _load_reference_module(
+            "DenseCap/densecap/BoxRegressionCriterion.py", "ref_brc")
+        w = 0.7
+        brc = brc_mod.BoxRegressionCriterion("cpu", w=w)
+        rng = np.random.RandomState(5)
+        anchors = (rng.rand(10, 4) * 40 + 30).astype(np.float32)
+        targets = (rng.rand(10, 4) * 40 + 30).astype(np.float32)
+        # one row with a wild target -> |trans| > 10 masked out
+        targets[3] = [1e5, 1e5, 1.0, 1.0]
+        preds = (rng.randn(10, 4) * 0.2).astype(np.float32)
+        with torch.no_grad():
+            want = float(brc(
+                [torch.from_numpy(anchors), torch.from_numpy(preds)],
+                torch.from_numpy(targets)))
+        trans_target = B.invert_box_transform(jnp.asarray(anchors),
+                                              jnp.asarray(targets))
+        got = float(losses.box_regression_loss(
+            jnp.asarray(preds), trans_target, weight=w))
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_lstm_loss_variants(self):
+        import torch
+
+        import jax.numpy as jnp
+        from imagecaptioning_tpu.ops import losses
+        mod = _load_reference_module("DenseCap/densecap/LSTMLoss.py",
+                                     "ref_lstmloss")
+        rng = np.random.RandomState(6)
+        logits = rng.randn(4, 9, 23).astype(np.float32)
+        targets = rng.randint(0, 23, size=(4, 9)).astype(np.int64)
+        targets[0, 5:] = 0
+        with torch.no_grad():
+            want_sum = float(mod.CustomCrossEntropyLoss()(
+                torch.from_numpy(logits), torch.from_numpy(targets)))
+        got_sum = float(losses.sum_cross_entropy(
+            jnp.asarray(logits), jnp.asarray(targets.astype(np.int32))))
+        np.testing.assert_allclose(got_sum, want_sum, rtol=1e-5)
+
+    def test_custom_loss_label_smoothed(self):
+        import torch
+
+        import jax.numpy as jnp
+        from imagecaptioning_tpu.ops import losses
+        mod = _load_reference_module("AlexCap/CustomLoss.py",
+                                     "ref_customloss")
+        rng = np.random.RandomState(8)
+        logits = rng.randn(3, 8, 23).astype(np.float32)
+        targets = rng.randint(0, 23, size=(3, 8)).astype(np.int64)
+        targets[1, 4:] = 0
+        with torch.no_grad():
+            want = float(mod.CustomCrossEntropyLoss()(
+                torch.from_numpy(logits), torch.from_numpy(targets)))
+        got = float(losses.smoothed_cross_entropy(
+            jnp.asarray(logits), jnp.asarray(targets.astype(np.int32))))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_make_anchors(self):
+        import torch
+
+        import jax.numpy as jnp
+        from imagecaptioning_tpu.ops import boxes as B
+        mod = _load_reference_module("DenseCap/densecap/MakeAnchors.py",
+                                     "ref_makeanchors")
+        anchors_wh = np.asarray([[45.0, 90.0], [90.0, 45.0],
+                                 [64.0, 64.0]], np.float32)
+        x0, y0, sx, sy = 8.5, 8.5, 16.0, 16.0
+        hf, wf = 4, 5
+        ref = mod.MakeAnchors(x0, y0, sx, sy,
+                              torch.from_numpy(anchors_wh.T))
+        with torch.no_grad():
+            want = ref(torch.zeros(1, 4 * 3, hf, wf)).numpy()
+        got = np.asarray(B.make_anchors(jnp.asarray(anchors_wh),
+                                        x0, y0, sx, sy, hf, wf))
+        # ref layout (1, 4k, H, W) -> (k, H, W, 4); ours (k, H, W, 4)?
+        want_r = want.reshape(3, 4, hf, wf).transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(got, want_r, rtol=1e-5, atol=1e-5)
+
+
+class TestReferenceLossVariants:
+    def test_densecap_temporal_sum_ce(self):
+        import torch
+
+        import jax.numpy as jnp
+        from imagecaptioning_tpu.ops import losses
+        d = os.path.join(REF_ROOT, "DenseCap", "densecap")
+        sys.path.insert(0, d)
+        try:
+            mod = _load_reference_module("DenseCap/densecap/LSTMLoss.py",
+                                         "ref_lstmloss_t")
+        finally:
+            sys.path.remove(d)
+        rng = np.random.RandomState(9)
+        logits = rng.randn(3, 6, 15).astype(np.float32)
+        targets = rng.randint(0, 15, size=(3, 6)).astype(np.int64)
+        targets[1, 2:] = 0
+        with torch.no_grad():
+            want = float(mod.TemporalCrossEntropyLoss()(
+                torch.from_numpy(logits), torch.from_numpy(targets)))
+        got = float(losses.temporal_sum_cross_entropy(
+            jnp.asarray(logits), jnp.asarray(targets.astype(np.int32))))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_gt_mean_reduction_ce(self):
+        import torch
+
+        import jax.numpy as jnp
+        from imagecaptioning_tpu.ops import losses
+        mod = _load_reference_module("AlexGTModel/LSTMLoss.py",
+                                     "ref_gt_lstmloss")
+        rng = np.random.RandomState(10)
+        logits = rng.randn(3, 6, 15).astype(np.float32)
+        targets = rng.randint(0, 15, size=(3, 6)).astype(np.int64)
+        targets[0, 4:] = 0
+        with torch.no_grad():
+            want = float(mod.CustomCrossEntropyLoss()(
+                torch.from_numpy(logits), torch.from_numpy(targets)))
+        got = float(losses.temporal_cross_entropy(
+            jnp.asarray(logits), jnp.asarray(targets.astype(np.int32))))
+        np.testing.assert_allclose(got, want, rtol=1e-5)

@@ -85,15 +85,18 @@ class TestLossParity:
             jnp.asarray(logits), jnp.asarray(targets)))
         assert got == pytest.approx(want, rel=1e-5)
 
-    def test_sum_ce_divides_by_total_count(self):
-        # DenseCap LSTMLoss.CustomCrossEntropyLoss: sum over non-null / N*T.
+    def test_sum_ce_divides_by_nonnull_count(self):
+        # DenseCap LSTMLoss.CustomCrossEntropyLoss: sum over non-null
+        # divided by the NON-NULL count (`size = target.nonzero().numel()
+        # / 2`, LSTMLoss.py:36) — differential-pinned in
+        # test_reference_differential.py.
         rng = np.random.RandomState(3)
         logits = rng.randn(2, 4, 7).astype(np.float32)
         targets = np.array([[1, 2, 0, 0], [3, 0, 0, 0]], dtype=np.int64)
         ce = torch.nn.CrossEntropyLoss(reduction="sum", ignore_index=0)(
             torch.from_numpy(logits).view(-1, 7),
             torch.from_numpy(targets).view(-1)).item()
-        want = ce / 8.0
+        want = ce / 3.0
         got = float(losses.sum_cross_entropy(
             jnp.asarray(logits), jnp.asarray(targets)))
         assert got == pytest.approx(want, rel=1e-5)
@@ -118,7 +121,8 @@ class TestLossParity:
         pred = jnp.zeros((3, 4))
         tgt = jnp.array([[1.0, 0, 0, 0], [100.0, 0, 0, 0], [2.0, 0, 0, 0]])
         got = float(losses.box_regression_loss(pred, tgt, weight=1.0))
-        # rows 0 and 2 valid: smooth_l1(1)=0.5, smooth_l1(2)=1.5; mean over
-        # 4 coords then mean over 2 valid rows.
-        want = ((0.5 / 4) + (1.5 / 4)) / 2
+        # rows 0 and 2 sane: smooth_l1(1)=0.5, smooth_l1(2)=1.5; mean over
+        # 4 coords; the reference's SmoothL1Loss 'mean' keeps the masked
+        # row in the denominator (3 rows), contributing zero.
+        want = ((0.5 / 4) + (1.5 / 4)) / 3
         assert got == pytest.approx(want, rel=1e-6)
