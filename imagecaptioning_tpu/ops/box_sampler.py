@@ -53,6 +53,43 @@ def _masked_random_topk(rng, mask, k, count_replacement: bool):
     return idx, ok
 
 
+def candidate_masks(proposals: jnp.ndarray, gt: jnp.ndarray,
+                    gt_mask: jnp.ndarray,
+                    high_thresh: float = 0.7, low_thresh: float = 0.3,
+                    in_bounds: jnp.ndarray | None = None):
+    """The deterministic stage of `BoxSampler.forward` (:20-53):
+    (pos_mask, neg_mask, argmax_gt) over all proposals. Reference
+    semantics, differential-tested:
+
+    - pos = IoU > high ∧ in-bounds, neg = max-IoU < low ∧ in-bounds;
+    - the argmax proposal PER GT is then forced positive (and cleared
+      from neg) even when out of bounds — the reference applies
+      `pos_mask[target_idx] = 1` AFTER its bounds zeroing (:42-44);
+    - if no negatives qualify, EVERY proposal becomes a negative
+      candidate — the reference's `neg.mul(-pos).add(1)` on an all-zero
+      neg mask is identically 1, positives included (:52-53)."""
+    iou = box_iou(proposals, gt)                       # (N, M)
+    iou = jnp.where(gt_mask[None, :], iou, -1.0)
+    max_iou = iou.max(axis=1)
+    argmax_gt = iou.argmax(axis=1)
+
+    ok = jnp.ones(proposals.shape[0], bool) if in_bounds is None else in_bounds
+    pos_mask = jnp.logical_and(max_iou > high_thresh, ok)
+    neg_mask = jnp.logical_and(max_iou < low_thresh, ok)
+    # argmax proposal per GT forced positive — over ALL proposals,
+    # bounds notwithstanding
+    best_prop = jnp.where(gt_mask, jnp.argmax(iou, axis=0), 0)
+    force = jnp.zeros_like(pos_mask).at[best_prop].set(
+        jnp.logical_or(jnp.zeros_like(gt_mask), gt_mask))
+    pos_mask = jnp.logical_or(pos_mask, force)
+    neg_mask = jnp.logical_and(neg_mask, jnp.logical_not(pos_mask))
+    # no negatives at all → every proposal becomes a negative candidate
+    # (the reference's 0*(-pos)+1 == 1 everywhere, positives included)
+    neg_mask = jnp.where(neg_mask.sum() == 0,
+                         jnp.ones_like(neg_mask), neg_mask)
+    return pos_mask, neg_mask, argmax_gt
+
+
 @partial(jax.jit, static_argnames=("num_pos", "num_neg"))
 def sample_boxes(rng: jax.Array, proposals: jnp.ndarray, gt: jnp.ndarray,
                  gt_mask: jnp.ndarray,
@@ -61,21 +98,8 @@ def sample_boxes(rng: jax.Array, proposals: jnp.ndarray, gt: jnp.ndarray,
                  in_bounds: jnp.ndarray | None = None) -> SampleResult:
     """proposals (N, 4), gt (M, 4) xcycwh with gt_mask marking real GT
     rows (padded GT slabs stay static). Returns fixed-shape samples."""
-    iou = box_iou(proposals, gt)                       # (N, M)
-    iou = jnp.where(gt_mask[None, :], iou, -1.0)
-    max_iou = iou.max(axis=1)
-    argmax_gt = iou.argmax(axis=1)
-
-    ok = jnp.ones(proposals.shape[0], bool) if in_bounds is None else in_bounds
-    pos_mask = jnp.logical_and(max_iou > high_thresh, ok)
-    # argmax proposal per GT is always positive (reference :29-37)
-    best_prop = jnp.where(gt_mask,
-                          jnp.argmax(jnp.where(ok[:, None], iou, -2.0),
-                                     axis=0), 0)
-    pos_mask = pos_mask.at[best_prop].set(
-        jnp.logical_or(pos_mask[best_prop], gt_mask))
-    neg_mask = jnp.logical_and(jnp.logical_and(max_iou < low_thresh, ok),
-                               jnp.logical_not(pos_mask))
+    pos_mask, neg_mask, argmax_gt = candidate_masks(
+        proposals, gt, gt_mask, high_thresh, low_thresh, in_bounds)
 
     r1, r2 = jax.random.split(rng)
     pos_idx, pos_ok = _masked_random_topk(r1, pos_mask, num_pos,

@@ -24,9 +24,27 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF_ROOT), reason="reference checkout not present")
 
 
+class _EasyDict(dict):
+    """Stand-in for the uninstalled `easydict` package (attribute-style
+    dict, all the reference's configs need)."""
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+
 def _load_reference_module(relpath, name):
-    # several reference files import torchvision at module scope without
-    # using it on these code paths; torchvision is not installed here
+    # several reference files import torchvision/easydict at module scope
+    # without using them on these code paths; neither is installed here
+    if "easydict" not in sys.modules:
+        ed = types.ModuleType("easydict")
+        ed.EasyDict = _EasyDict
+        sys.modules["easydict"] = ed
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
         tv.models = types.ModuleType("torchvision.models")
@@ -866,3 +884,109 @@ class TestReferenceLossVariants:
         got = float(losses.temporal_cross_entropy(
             jnp.asarray(logits), jnp.asarray(targets.astype(np.int32))))
         np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+class TestReferenceBoxSampler:
+    """Differential: the deterministic mask stage of the reference's
+    BoxSampler (pos/neg candidate masks + per-GT argmax forcing +
+    bounds handling + negative flooding) vs ops.box_sampler.
+    torchvision.ops.box_iou is stubbed with an independent torch
+    corner-IoU implementation."""
+
+    def _run_reference(self, proposals, gt, bounds):
+        import torch
+
+        if "torchvision" not in sys.modules:
+            tv = types.ModuleType("torchvision")
+            sys.modules["torchvision"] = tv
+        tv = sys.modules["torchvision"]
+        if not hasattr(tv, "ops"):
+            tv.ops = types.ModuleType("torchvision.ops")
+            sys.modules["torchvision.ops"] = tv.ops
+
+        def box_iou(a, b):
+            area = lambda t: ((t[:, 2] - t[:, 0]) * (t[:, 3] - t[:, 1]))
+            lt = torch.max(a[:, None, :2], b[None, :, :2])
+            rb = torch.min(a[:, None, 2:], b[None, :, 2:])
+            wh = (rb - lt).clamp(min=0)
+            inter = wh[..., 0] * wh[..., 1]
+            return inter / (area(a)[:, None] + area(b)[None] - inter)
+
+        tv.ops.box_iou = box_iou
+        for d in (REF_ROOT, os.path.join(REF_ROOT, "DenseCap", "densecap")):
+            if d not in sys.path:
+                sys.path.insert(0, d)
+        try:
+            mod = _load_reference_module("DenseCap/densecap/BoxSampler.py",
+                                         "ref_boxsampler")
+            # box_utils materializes tensors on the config device
+            # ('cuda:0' in the committed config); run on CPU
+            sys.modules["box_utils"].opt["device"] = "cpu"
+            sampler = mod.BoxSampler({"low_thresh": 0.3,
+                                      "high_thresh": 0.7,
+                                      "batch_size": 8, "device": "cpu"})
+            sampler.setBounds(types.SimpleNamespace(**bounds))
+            torch.manual_seed(0)
+            sampler([torch.from_numpy(proposals)[None],
+                     torch.from_numpy(gt)[None]])
+            return (np.asarray(sampler.pos_mask, bool),
+                    np.asarray(sampler.neg_mask, bool))
+        finally:
+            for d in (REF_ROOT,
+                      os.path.join(REF_ROOT, "DenseCap", "densecap")):
+                if d in sys.path:
+                    sys.path.remove(d)
+
+    @pytest.mark.parametrize("with_bounds", [False, True])
+    def test_candidate_masks_match(self, with_bounds):
+        import jax.numpy as jnp
+        from imagecaptioning_tpu.ops import boxes as B
+        from imagecaptioning_tpu.ops.box_sampler import candidate_masks
+
+        rng = np.random.RandomState(21)
+        n, m = 40, 3
+        proposals = np.stack([
+            rng.uniform(10, 90, n), rng.uniform(10, 90, n),
+            rng.uniform(8, 40, n), rng.uniform(8, 40, n)], 1
+        ).astype(np.float32)
+        gt = np.asarray([[30.0, 30, 20, 20], [70.0, 60, 16, 24],
+                         [50.0, 80, 12, 12]], np.float32)
+        if with_bounds:
+            bounds = {"x_min": 1, "y_min": 1, "x_max": 85, "y_max": 85}
+        else:
+            bounds = {"x_min": None, "y_min": None,
+                      "x_max": None, "y_max": None}
+        want_pos, want_neg = self._run_reference(proposals, gt, bounds)
+
+        if with_bounds:
+            corners = B.xcycwh_to_x1y1x2y2(jnp.asarray(proposals))
+            in_bounds = jnp.logical_and(
+                jnp.logical_and(corners[:, 0] >= bounds["x_min"],
+                                corners[:, 1] >= bounds["y_min"]),
+                jnp.logical_and(corners[:, 2] <= bounds["x_max"],
+                                corners[:, 3] <= bounds["y_max"]))
+        else:
+            in_bounds = None
+        got_pos, got_neg, _ = candidate_masks(
+            jnp.asarray(proposals), jnp.asarray(gt),
+            jnp.ones(m, bool), in_bounds=in_bounds)
+        np.testing.assert_array_equal(np.asarray(got_pos), want_pos)
+        np.testing.assert_array_equal(np.asarray(got_neg), want_neg)
+
+    def test_negative_flooding_matches(self):
+        # every proposal overlaps some GT above the low threshold -> the
+        # reference floods negatives with all non-positives
+        import jax.numpy as jnp
+        from imagecaptioning_tpu.ops.box_sampler import candidate_masks
+
+        proposals = np.asarray([[30.0, 30, 20, 20], [31.0, 30, 20, 20],
+                                [33.0, 31, 22, 20], [29.0, 28, 18, 18]],
+                               np.float32)
+        gt = np.asarray([[30.0, 30, 20, 20]], np.float32)
+        bounds = {"x_min": None, "y_min": None, "x_max": None,
+                  "y_max": None}
+        want_pos, want_neg = self._run_reference(proposals, gt, bounds)
+        got_pos, got_neg, _ = candidate_masks(
+            jnp.asarray(proposals), jnp.asarray(gt), jnp.ones(1, bool))
+        np.testing.assert_array_equal(np.asarray(got_pos), want_pos)
+        np.testing.assert_array_equal(np.asarray(got_neg), want_neg)
