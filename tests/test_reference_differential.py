@@ -1084,3 +1084,99 @@ class TestReferenceDenseCapEvaluator:
         # the reference's evaluate() does not return METEOR (it feeds
         # the per-record scores into the AP grid only); ours surfaces
         # the mean as 'meteor' — verified equal via the matching grids
+
+
+class TestReferenceGTLanguageModule:
+    """Differential: the GT dense LSTM captioner (AlexGTModel/
+    AlexDenseLangage.py, live non-curriculum path) vs our LanguageHead.
+    The reference concatenates [image; START; gt] into one LSTM pass and
+    drops the first output; ours warms the state on the image vector
+    then feeds [START; gt] — mathematically identical, pinned here."""
+
+    V, W, D, H, T, B = 22, 16, 40, 24, 6, 3
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        import torch
+
+        import jax
+        import jax.numpy as jnp
+        from imagecaptioning_tpu.models.heads import LanguageHead
+        from imagecaptioning_tpu.utils import torch_port as tp
+
+        torch.manual_seed(4)
+        mod = _load_reference_module("AlexGTModel/AlexDenseLangage.py",
+                                     "ref_gt_language")
+        ref = mod.LanguageModel(
+            vocab_size=self.V, input_encoding_size=self.W,
+            image_vector_dim=self.D, rnn_size=self.H,
+            seq_length=self.T, num_layers=1, idx_to_token={},
+            dropout=0.0, device="cpu", curriculum_learning=False)
+        ref.eval()
+        sd = ref.state_dict()
+        head = LanguageHead(vocab_size=self.V, embedding_size=self.W,
+                            rnn_size=self.H, num_layers=1, dropout=0.0,
+                            output_dropout=False)
+        params = {
+            "image_encoder": tp.convert_linear(sd, "image_encoder.encode"),
+            "lookup_table": tp.convert_embedding(sd, "lookup_table"),
+            "lstm": tp.convert_lstm(sd, "lstm", num_layers=1),
+            "linear": tp.convert_linear(sd, "rnn.linear"),
+        }
+        return ref, head, jax.tree.map(jnp.asarray, params)
+
+    def test_teacher_forced_logits_match(self, pair):
+        import torch
+
+        import jax.numpy as jnp
+        from imagecaptioning_tpu.ops import tokens
+
+        ref, head, params = pair
+        rng = np.random.RandomState(17)
+        codes = rng.randn(self.B, self.D).astype(np.float32)
+        gt = rng.randint(1, self.V + 1,
+                         size=(self.B, self.T)).astype(np.int64)
+        gt[1, 3:] = 0
+        with torch.no_grad():
+            want = ref(torch.from_numpy(codes),
+                       torch.from_numpy(gt)).numpy()
+        dec_in = tokens.decoder_input(jnp.asarray(gt.astype(np.int32)),
+                                      self.V + 1)
+        got = head.apply({"params": params},
+                         jnp.asarray(codes)[:, None, :], dec_in,
+                         deterministic=True)
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_greedy_decode_matches(self, pair):
+        import torch
+
+        import jax.numpy as jnp
+        from imagecaptioning_tpu.models import decoding
+
+        ref, head, params = pair
+        rng = np.random.RandomState(18)
+        codes = rng.randn(self.B, self.D).astype(np.float32)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(codes), torch.empty(0)).numpy()
+
+        state = head.apply({"params": params},
+                           jnp.asarray(codes)[:, None, :],
+                           method=head.init_state)
+
+        def step(carry, toks, t):
+            logits, carry = head.apply({"params": params}, toks, carry,
+                                       method=head.step)
+            return carry, logits, jnp.zeros((toks.shape[0], 1),
+                                            jnp.float32)
+
+        got, _ = decoding.greedy_decode(step, state, self.B, self.V + 1,
+                                        self.T + 1)
+        got = np.asarray(got)
+        end = self.V + 2
+        for b in range(self.B):
+            w, g = want[b], got[b]
+            w_end = np.argmax(w == end) if (w == end).any() else len(w)
+            g_end = np.argmax(g == end) if (g == end).any() else len(g)
+            assert w_end == g_end, (b, w, g)
+            np.testing.assert_array_equal(g[:g_end], w[:w_end])
