@@ -260,9 +260,12 @@ def make_region_greedy_fn(model, max_steps: int) -> Callable:
 
 
 def make_region_beam_fn(model, max_steps: int, beam_size: int,
-                        use_logprobs: bool = False) -> Callable:
+                        use_logprobs: bool = True) -> Callable:
     """(variables, images, boxes) → BeamResult over N*R regions — the
-    batched vectorized beam of `AlexDenseLangage.py:171-210`, fused."""
+    batched vectorized beam of `AlexDenseLangage.py:171-210`, fused.
+    Defaults to LOG-PROB accumulation: both GT beams score with
+    log-softmax (`AlexDenseLangage.py:178,195`, `AlexTransformer.py:311`),
+    unlike the AlexCap families' raw-logit beams."""
 
     @jax.jit
     def run(variables, images, boxes):

@@ -97,7 +97,8 @@ class GTDenseCaptioner(nn.Module):
                 vocab_out=self.vocab_size + 3, embed_size=self.embed_size,
                 num_layers=self.num_layers, heads=self.heads,
                 forward_expansion=4, dropout=self.dropout,
-                max_length=self.seq_length + 1)
+                max_length=self.seq_length + 1,
+                scale_embedding=False)   # AlexTransformer.py:188: no sqrt(E)
 
     @property
     def spec(self) -> tokens.TokenSpec:

@@ -212,6 +212,10 @@ class Decoder(nn.Module):
     forward_expansion: int
     dropout: float
     max_length: int
+    # AlexCap scales word embeddings by sqrt(E) (`emb*self.regul`,
+    # TransformerModule.py:187); the AlexGTModel transformer does NOT
+    # (AlexTransformer.py:188) — differential-tested both ways.
+    scale_embedding: bool = True
 
     @nn.compact
     def __call__(self, tokens, enc_out, src_mask=None, trg_mask=None, *,
@@ -228,7 +232,8 @@ class Decoder(nn.Module):
             pos = pos_emb[decode_position][None, None, :]
         else:
             pos = pos_emb[None, :t]
-        x = word_emb(tokens) * np.sqrt(self.embed_size) + pos
+        scale = np.sqrt(self.embed_size) if self.scale_embedding else 1.0
+        x = word_emb(tokens) * scale + pos
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         alphas = None
         for i in range(self.num_layers):

@@ -1180,3 +1180,120 @@ class TestReferenceGTLanguageModule:
             g_end = np.argmax(g == end) if (g == end).any() else len(g)
             assert w_end == g_end, (b, w, g)
             np.testing.assert_array_equal(g[:g_end], w[:w_end])
+
+
+class TestReferenceGTTransformer:
+    """Differential: the GT dense transformer (AlexGTModel/
+    AlexTransformer.py — no sqrt(E) embedding scaling, causal-only
+    target mask, sos/eos = V+3−2/V+3−1) with ported weights vs our
+    GTDenseCaptioner transformer components."""
+
+    V3, FC, E, L, HEADS, T, B = 23, 40, 32, 2, 4, 6, 3  # V3 = V + 3
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        import torch
+
+        import jax
+        import jax.numpy as jnp
+        from imagecaptioning_tpu.utils import torch_port as tp
+
+        torch.manual_seed(6)
+        mod = _load_reference_module("AlexGTModel/AlexTransformer.py",
+                                     "ref_gt_transformer")
+        ref = mod.Transformer(
+            src_vocab_size=self.V3, fc_dim=self.FC, token_dict={},
+            max_length=self.T + 1, embed_size=self.E,
+            num_layers=self.L, heads=self.HEADS, forward_expansion=4,
+            dropout=0.0, device="cpu")
+        ref.eval()
+        sd = ref.state_dict()
+
+        def norm(prefix):
+            return {"scale": np.asarray(sd[f"{prefix}.weight"]),
+                    "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+        def block(prefix):
+            return {
+                "attention": {k: tp.convert_linear(
+                    sd, f"{prefix}.attention.{k}")
+                    for k in ("values", "keys", "queries", "fc_out")},
+                "norm1": norm(f"{prefix}.norm1"),
+                "norm2": norm(f"{prefix}.norm2"),
+                "ff1": tp.convert_linear(sd, f"{prefix}.feed_forward.0"),
+                "ff2": tp.convert_linear(sd, f"{prefix}.feed_forward.2"),
+            }
+
+        # enc input length is 1 (a single projected ROI code): only row
+        # 0 of the reference's position table is ever used
+        enc_params = {"position_embedding":
+                      np.asarray(sd["encoder.position_embedding.weight"])[:1]}
+        for i in range(self.L):
+            enc_params[f"layer_{i}"] = block(f"encoder.layers.{i}")
+        dec_params = {
+            "word_embedding": tp.convert_embedding(
+                sd, "decoder.word_embedding"),
+            "position_embedding":
+                np.asarray(sd["decoder.position_embedding.weight"]),
+            "fc_out": tp.convert_linear(sd, "decoder.fc_out"),
+        }
+        for i in range(self.L):
+            dec_params[f"layer_{i}"] = {
+                "norm": norm(f"decoder.layers.{i}.norm"),
+                "attention": {k: tp.convert_linear(
+                    sd, f"decoder.layers.{i}.attention.{k}")
+                    for k in ("values", "keys", "queries", "fc_out")},
+                "transformer_block": block(
+                    f"decoder.layers.{i}.transformer_block"),
+            }
+        fc = tp.convert_linear(sd, "fc.0")
+        to_j = lambda tree: jax.tree.map(jnp.asarray, tree)
+        return ref, to_j(fc), to_j(enc_params), to_j(dec_params)
+
+    def test_teacher_forced_logits_match_on_live_positions(self, pair):
+        import torch
+
+        import jax.numpy as jnp
+        from imagecaptioning_tpu.ops import tokens
+        from imagecaptioning_tpu.ops.transformer import (Decoder, Encoder,
+                                                         make_trg_mask)
+
+        ref, fc, enc_params, dec_params = pair
+        rng = np.random.RandomState(23)
+        codes = rng.randn(self.B, self.FC).astype(np.float32)
+        V = self.V3 - 3
+        gt = rng.randint(1, V + 1, size=(self.B, self.T)).astype(np.int64)
+        gt[1, 3:] = 0
+        with torch.no_grad():
+            want = ref(torch.from_numpy(codes),
+                       torch.from_numpy(gt)).numpy()
+
+        enc_mod = Encoder(embed_size=self.E, num_layers=self.L,
+                          heads=self.HEADS, forward_expansion=4,
+                          dropout=0.0, patch_length=1)
+        dec_mod = Decoder(vocab_out=self.V3, embed_size=self.E,
+                          num_layers=self.L, heads=self.HEADS,
+                          forward_expansion=4, dropout=0.0,
+                          max_length=self.T + 1, scale_embedding=False)
+        word_vec = jnp.maximum(
+            jnp.asarray(codes)[:, None, :] @ fc["kernel"] + fc["bias"], 0.0)
+        enc = enc_mod.apply({"params": enc_params}, word_vec, None,
+                            deterministic=True)
+        # sos = V3-2 == V+1 numerically (the documented equivalence)
+        dec_in = tokens.decoder_input(jnp.asarray(gt.astype(np.int32)),
+                                      self.V3 - 2)
+        logits, _ = dec_mod.apply({"params": dec_params}, dec_in, enc,
+                                  None, make_trg_mask(dec_in),
+                                  deterministic=True)
+        got = np.asarray(logits)
+        # our mask additionally hides NULL keys; on live positions
+        # (query t with no NULL at or before t) the two are identical —
+        # compare there (captions are front-packed)
+        for b in range(self.B):
+            live = np.where(np.asarray(dec_in[b]) > 0)[0]
+            first_null = (np.argmax(np.asarray(dec_in[b]) == 0)
+                          if (np.asarray(dec_in[b]) == 0).any()
+                          else len(np.asarray(dec_in[b])))
+            live = [t for t in live if t < max(first_null, 1)]
+            np.testing.assert_allclose(got[b, live], want[b, live],
+                                       rtol=2e-4, atol=2e-4)
