@@ -1297,3 +1297,99 @@ class TestReferenceGTTransformer:
             live = [t for t in live if t < max(first_null, 1)]
             np.testing.assert_allclose(got[b, live], want[b, live],
                                        rtol=2e-4, atol=2e-4)
+
+
+class TestReferenceVitbDecoder:
+    """Differential: the ViT-B captioner's own decoder copy
+    (AlexCap/VitbModel.py:114-149 — sqrt(E) scaling AND returns the last
+    block's cross-attention alphas) vs ops/transformer.Decoder."""
+
+    V3, E, L, HEADS, T, B, P = 21, 32, 2, 4, 6, 3, 5
+
+    def test_logits_and_alphas_match(self):
+        import torch
+
+        import jax
+        import jax.numpy as jnp
+        from imagecaptioning_tpu.ops import tokens
+        from imagecaptioning_tpu.ops.transformer import (Decoder,
+                                                         make_trg_mask)
+        from imagecaptioning_tpu.utils import torch_port as tp
+
+        torch.manual_seed(7)
+        if REF_ROOT not in sys.path:        # VitbModel imports AlexCap.*
+            sys.path.insert(0, REF_ROOT)
+        try:
+            mod = _load_reference_module("AlexCap/VitbModel.py",
+                                         "ref_vitb")
+        finally:
+            sys.path.remove(REF_ROOT)
+        ref = mod.Decoder(trg_vocab_size=self.V3, embed_size=self.E,
+                          num_layers=self.L, heads=self.HEADS,
+                          forward_expansion=4, dropout=0.0,
+                          device="cpu", max_length=self.T + 1)
+        ref.eval()
+        sd = ref.state_dict()
+
+        def norm(prefix):
+            return {"scale": np.asarray(sd[f"{prefix}.weight"]),
+                    "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+        def block(prefix):
+            return {
+                "attention": {k: tp.convert_linear(
+                    sd, f"{prefix}.attention.{k}")
+                    for k in ("values", "keys", "queries", "fc_out")},
+                "norm1": norm(f"{prefix}.norm1"),
+                "norm2": norm(f"{prefix}.norm2"),
+                "ff1": tp.convert_linear(sd, f"{prefix}.feed_forward.0"),
+                "ff2": tp.convert_linear(sd, f"{prefix}.feed_forward.2"),
+            }
+
+        dec_params = {
+            "word_embedding": tp.convert_embedding(sd, "word_embedding"),
+            "position_embedding":
+                np.asarray(sd["position_embedding.weight"]),
+            "fc_out": tp.convert_linear(sd, "fc_out"),
+        }
+        for i in range(self.L):
+            dec_params[f"layer_{i}"] = {
+                "norm": norm(f"layers.{i}.norm"),
+                "attention": {k: tp.convert_linear(
+                    sd, f"layers.{i}.attention.{k}")
+                    for k in ("values", "keys", "queries", "fc_out")},
+                "transformer_block": block(f"layers.{i}.transformer_block"),
+            }
+        dec_params = jax.tree.map(jnp.asarray, dec_params)
+
+        rng = np.random.RandomState(29)
+        enc = rng.randn(self.B, self.P, self.E).astype(np.float32)
+        V = self.V3 - 3
+        gt = rng.randint(1, V + 1, size=(self.B, self.T)).astype(np.int64)
+        gt[0, 4:] = 0
+        dec_in_np = np.concatenate(
+            [np.full((self.B, 1), V + 1, np.int64), gt], axis=1)
+
+        # reference target mask: AlexCap's key-masked causal product
+        keep = (dec_in_np > 0).astype(np.float32)
+        trg_mask_np = (np.tril(np.ones((self.T + 1, self.T + 1)))[None] *
+                       (keep[:, :, None] * keep[:, None, :]))[:, None]
+        with torch.no_grad():
+            want_logits, want_alphas = ref(
+                torch.from_numpy(dec_in_np), torch.from_numpy(enc),
+                None, torch.from_numpy(trg_mask_np.astype(np.float32)))
+
+        dec_mod = Decoder(vocab_out=self.V3, embed_size=self.E,
+                          num_layers=self.L, heads=self.HEADS,
+                          forward_expansion=4, dropout=0.0,
+                          max_length=self.T + 1)
+        dec_in = jnp.asarray(dec_in_np.astype(np.int32))
+        got_logits, got_alphas = dec_mod.apply(
+            {"params": dec_params}, dec_in, jnp.asarray(enc), None,
+            make_trg_mask(dec_in), deterministic=True)
+        np.testing.assert_allclose(np.asarray(got_logits),
+                                   want_logits.numpy(),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(got_alphas),
+                                   want_alphas.numpy(),
+                                   rtol=2e-4, atol=1e-5)
