@@ -1393,3 +1393,79 @@ class TestReferenceVitbDecoder:
         np.testing.assert_allclose(np.asarray(got_alphas),
                                    want_alphas.numpy(),
                                    rtol=2e-4, atol=1e-5)
+
+
+class TestReferenceGTBeam:
+    """Differential: the GT LSTM batched beam (AlexDenseLangage.py:
+    171-210 — log-softmax scores, frozen finished beams via
+    next_prob[end,:END]=-100/[END]=0) is the same formulation as our
+    `beam_search(use_logprobs=True)`; with ported weights the TOP beam
+    must match token-for-token."""
+
+    V, W, D, H, T, B, K = 22, 16, 40, 24, 6, 3, 3
+
+    def test_top_beam_matches(self):
+        import torch
+
+        import jax
+        import jax.numpy as jnp
+        from imagecaptioning_tpu.models import decoding
+        from imagecaptioning_tpu.models.heads import LanguageHead
+        from imagecaptioning_tpu.utils import torch_port as tp
+
+        torch.manual_seed(5)
+        mod = _load_reference_module("AlexGTModel/AlexDenseLangage.py",
+                                     "ref_gt_language_beam")
+        ref = mod.LanguageModel(
+            vocab_size=self.V, input_encoding_size=self.W,
+            image_vector_dim=self.D, rnn_size=self.H,
+            seq_length=self.T, num_layers=1, idx_to_token={},
+            dropout=0.0, device="cpu", curriculum_learning=False)
+        ref.eval()
+        sd = ref.state_dict()
+        head = LanguageHead(vocab_size=self.V, embedding_size=self.W,
+                            rnn_size=self.H, num_layers=1, dropout=0.0,
+                            output_dropout=False)
+        params = jax.tree.map(jnp.asarray, {
+            "image_encoder": tp.convert_linear(sd, "image_encoder.encode"),
+            "lookup_table": tp.convert_embedding(sd, "lookup_table"),
+            "lstm": tp.convert_lstm(sd, "lstm", num_layers=1),
+            "linear": tp.convert_linear(sd, "rnn.linear"),
+        })
+
+        rng = np.random.RandomState(19)
+        codes = rng.randn(self.B, self.D).astype(np.float32)
+        with torch.no_grad():
+            want = ref.beam_search(torch.from_numpy(codes),
+                                   self.K).numpy()   # (B, K, T)
+
+        from imagecaptioning_tpu.models.api import (
+            _lstm_carry_from_batch_major, _lstm_carry_to_batch_major)
+
+        feats = jnp.asarray(codes)[:, None, :]
+        feats_k = decoding.expand_for_beams(feats, self.K)
+        state = _lstm_carry_to_batch_major(
+            head.apply({"params": params}, feats_k,
+                       method=head.init_state))
+
+        def step(carry, toks, t):
+            st = _lstm_carry_from_batch_major(carry)
+            logits, st = head.apply({"params": params}, toks, st,
+                                    method=head.step)
+            return (_lstm_carry_to_batch_major(st), logits,
+                    jnp.zeros((toks.shape[0], 1), jnp.float32))
+
+        # the reference decodes seq_length steps (loop range(1, T) after
+        # the step-0 top-k)
+        res = decoding.beam_search(step, state, self.B, self.K,
+                                   start_token=self.V + 1,
+                                   end_token=self.V + 2,
+                                   max_steps=self.T, use_logprobs=True)
+        got = np.asarray(res.tokens)                 # (B, K, T) best-first
+        end = self.V + 2
+        for b in range(self.B):
+            w, g = want[b, 0].astype(np.int64), got[b, 0]
+            w_end = np.argmax(w == end) if (w == end).any() else len(w)
+            g_end = np.argmax(g == end) if (g == end).any() else len(g)
+            assert w_end == g_end, (b, w, g)
+            np.testing.assert_array_equal(g[:g_end], w[:w_end])
