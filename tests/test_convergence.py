@@ -131,3 +131,28 @@ def test_rpn_total_loss_decreases():
     first, last = _fit(loss_fn, variables["params"], steps=50, lr=1e-3)
     assert np.isfinite(last)
     assert last < 0.8 * first, (first, last)
+
+
+def test_vitb_overfits():
+    """ViT family gradient path (small config: 2 encoder layers)."""
+    from imagecaptioning_tpu.models.captioners import ViTCaptioner
+    from imagecaptioning_tpu.train import step as steplib
+
+    rng = np.random.RandomState(3)
+    images = jnp.asarray((rng.rand(4, 32, 32, 3) * 255).astype(np.uint8))
+    gt = jnp.asarray(rng.randint(1, 33, size=(4, 6), dtype=np.int32))
+    model = ViTCaptioner(vocab_size=32, max_length=6, embed_size=32,
+                         num_layers=1, heads=4, dropout=0.0,
+                         image_size=32, vit_patch=8, vit_layers=2,
+                         vit_heads=4, vit_hidden=32, vit_mlp=64,
+                         freeze_encoder=False)
+    tx = optax.adam(3e-3)
+    pre = lambda u8: u8.astype(jnp.float32) / 255.0
+    state, _ = steplib.create_train_state(model, tx, pre(images), gt)
+    step = jax.jit(steplib.make_train_step(model, tx, preprocess=pre))
+    hist = []
+    for _ in range(60):
+        state, m = step(state, images, gt)
+        hist.append(float(m["loss"]))
+    best = min(h for h in hist if np.isfinite(h))
+    assert best < 0.6 * hist[0], (hist[0], best, hist[-1])
