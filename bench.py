@@ -162,6 +162,11 @@ def bench_input(args):
         num_images=args.input_images, seed=0)
     loader = AlexDataLoader(arrays=arrays, info=info)
     b = args.batch_size
+    if len(loader.split_ix[0]) < b:
+        raise SystemExit(
+            f"--input-images {args.input_images} leaves a train split of "
+            f"{len(loader.split_ix[0])} images < batch size {b}; "
+            "raise --input-images or lower --batch-size")
 
     def epochs():
         while True:

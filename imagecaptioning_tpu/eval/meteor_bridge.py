@@ -32,8 +32,10 @@ _DEFAULT_JAR = os.environ.get("METEOR_JAR", "")
 
 
 def _sanitize(text: str) -> str:
-    """The stdio protocol delimits fields with '|||' — strip it (and the
-    double spaces stripping leaves) from payload text."""
+    """The stdio protocol is line-based with '|||' field delimiters —
+    strip both newlines and the delimiter (and the double spaces
+    stripping leaves) from payload text."""
+    text = text.replace("\n", " ").replace("\r", " ")
     return text.replace("|||", "").replace("  ", " ").strip()
 
 

@@ -58,8 +58,13 @@ def _corpus_scores(records: Sequence[Dict]) -> Dict:
 
     cands = [r["candidate"].split() for r in records]
     refs = [[x.split() for x in r["references"]] for r in records]
-    pairs = [(c, rs) for c, rs in zip(cands, refs) if c and any(rs)]
-    if not pairs:
+    # keep records with EMPTY candidates: they must count against the
+    # corpus metrics (pycocoevalcap scores them 0 and includes them) —
+    # dropping them would inflate bleu4/cider relative to meteor/bleu.
+    # Records with no non-empty reference are unscorable and dropped.
+    pairs = [(c, [r for r in rs if r]) for c, rs in zip(cands, refs)
+             if any(rs)]
+    if not pairs or not any(c for c, _ in pairs):
         return {"bleu4": 0.0, "cider": 0.0}
     bleu4 = float(corpus_bleu(
         [rs for _, rs in pairs], [c for c, _ in pairs],

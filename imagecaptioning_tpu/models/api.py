@@ -144,19 +144,30 @@ def make_step_fn(model, params) -> Tuple[Callable, Callable]:
     return init_carry, step
 
 
+def apply_train(model, variables, images, gt, rngs=None):
+    """Train-mode apply tolerant of BN stat mutation: returns
+    (TrainOutput, new_batch_stats). The single place that knows how
+    unfrozen-encoder BN threads its running-stat updates — used by the
+    train step (which consumes the stats) and make_forward_fn (which
+    discards them, being a pure loss fn)."""
+    if "batch_stats" in variables:
+        out, mutated = model.apply(variables, images, gt, train=True,
+                                   rngs=rngs, mutable=["batch_stats"])
+        return out, mutated.get("batch_stats",
+                                variables.get("batch_stats", {}))
+    out = model.apply(variables, images, gt, train=True, rngs=rngs)
+    return out, {}
+
+
 def make_forward_fn(model) -> Callable:
     """(variables, images, gt, rng, train) → (loss, TrainOutput), jittable."""
 
     def forward(variables, images, gt, rng=None, train: bool = False):
         rngs = {"dropout": rng} if (train and rng is not None) else None
-        if train and "batch_stats" in variables:
-            # unfrozen-encoder training runs BN in batch mode and updates
-            # running stats; as a pure loss fn we allow and discard the
-            # mutation (the train step threads it into TrainState).
-            out, _ = model.apply(variables, images, gt, train=True,
-                                 rngs=rngs, mutable=["batch_stats"])
+        if train:
+            out, _ = apply_train(model, variables, images, gt, rngs=rngs)
         else:
-            out = model.apply(variables, images, gt, train=train, rngs=rngs)
+            out = model.apply(variables, images, gt, train=False, rngs=rngs)
         loss = model.loss(out, gt)
         return loss, out
     return forward

@@ -77,10 +77,11 @@ def candidate_masks(proposals: jnp.ndarray, gt: jnp.ndarray,
     pos_mask = jnp.logical_and(max_iou > high_thresh, ok)
     neg_mask = jnp.logical_and(max_iou < low_thresh, ok)
     # argmax proposal per GT forced positive — over ALL proposals,
-    # bounds notwithstanding
+    # bounds notwithstanding. Scatter with max(): padded GT rows all
+    # target index 0 with False and must not erase a real GT's True
+    # (duplicate-index .set() order is unspecified).
     best_prop = jnp.where(gt_mask, jnp.argmax(iou, axis=0), 0)
-    force = jnp.zeros_like(pos_mask).at[best_prop].set(
-        jnp.logical_or(jnp.zeros_like(gt_mask), gt_mask))
+    force = jnp.zeros_like(pos_mask).at[best_prop].max(gt_mask)
     pos_mask = jnp.logical_or(pos_mask, force)
     neg_mask = jnp.logical_and(neg_mask, jnp.logical_not(pos_mask))
     # no negatives at all → every proposal becomes a negative candidate

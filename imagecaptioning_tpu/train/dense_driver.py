@@ -249,9 +249,12 @@ def train_gt(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
         if verbose:
             print(f"resumed from {resume_from} at iter {start_iter}")
 
+    # each epoch pass consumes steps_per_epoch batches (ragged tail
+    # dropped), so the cursor must wrap in BATCH units, not images
+    steps_per_epoch = max(len(loader.train_ix) // cfg.batch_size, 1)
     batches = _endless_batches(
         loader, cfg,
-        start_images=(start_iter * cfg.batch_size) % len(loader.train_ix))
+        start_images=(start_iter % steps_per_epoch) * cfg.batch_size)
     it = start_iter
     last_loss = float("nan")
     sig = ckptlib.SignalCheckpointer()

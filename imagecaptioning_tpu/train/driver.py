@@ -138,7 +138,10 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
             v["batch_stats"] = state.batch_stats
         return v
 
-    start_images = ((start_iter * bs) % len(loader.split_ix[0])
+    # wrap the cursor in BATCH units: each sequential epoch consumes
+    # steps_per_epoch_data batches (ragged tail dropped)
+    steps_per_epoch_data = max(len(loader.split_ix[0]) // bs, 1)
+    start_images = ((start_iter % steps_per_epoch_data) * bs
                     if cfg.iterate else 0)
     batches = prefetch_batches(
         _batch_iterator(loader, cfg, bs, start_images=start_images), size=2)

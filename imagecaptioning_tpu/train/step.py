@@ -56,19 +56,19 @@ def make_train_step(model, tx,
         x = preprocess(images) if preprocess is not None else images
 
         def loss_fn(params):
+            # torch train-mode BN during finetuning: batch statistics in
+            # the forward, running stats updated (the model only actually
+            # mutates them when its encoder is unfrozen); apply_train is
+            # the single implementation of that threading.
+            from imagecaptioning_tpu.models.api import apply_train
             variables = {"params": params}
             if state.batch_stats:
-                # torch train-mode BN during finetuning: batch statistics
-                # in the forward, running stats updated (the model only
-                # actually mutates them when its encoder is unfrozen).
                 variables["batch_stats"] = state.batch_stats
-                out, mutated = model.apply(
-                    variables, x, gt, train=True,
-                    rngs={"dropout": step_rng}, mutable=["batch_stats"])
-                loss = model.loss(out, gt)
-                return loss, mutated.get("batch_stats", state.batch_stats)
-            loss, _ = forward(variables, x, gt, rng=step_rng, train=True)
-            return loss, state.batch_stats
+            out, new_stats = apply_train(model, variables, x, gt,
+                                         rngs={"dropout": step_rng})
+            loss = model.loss(out, gt)
+            return loss, (new_stats if state.batch_stats
+                          else state.batch_stats)
 
         (loss, new_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)

@@ -35,11 +35,14 @@ def save_checkpoint(path: str, state, extra: Optional[Dict] = None) -> None:
         payload["extra"] = _tree_to_numpy(extra)
     ckptr = ocp.StandardCheckpointer()
     tmp, old = path + ".tmp-save", path + ".old"
-    for leftover in (tmp, old):
-        if os.path.exists(leftover):
-            shutil.rmtree(leftover)
-    ckptr.save(tmp, payload)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ckptr.save(tmp, payload)        # orbax itself commits atomically
     ckptr.wait_until_finished()
+    # only now is it safe to drop a leftover '.old' (it may be the sole
+    # restorable checkpoint after a crash mid-swap)
+    if os.path.exists(old):
+        shutil.rmtree(old)
     if os.path.exists(path):
         os.rename(path, old)
     os.rename(tmp, path)
@@ -83,6 +86,10 @@ def resume_path(save_path: str) -> Optional[str]:
     best = save_path if os.path.isdir(save_path) else None
     if best is None and os.path.isdir(save_path + ".old"):
         best = save_path + ".old"   # crash mid-swap: old state survives
+    if best is None and os.path.isdir(save_path + ".tmp-save"):
+        # crash between dropping '.old' and the final rename: the tmp
+        # dir exists only once orbax committed it, so it is complete
+        best = save_path + ".tmp-save"
     pre = (save_path + ".preempt"
            if os.path.isdir(save_path + ".preempt") else None)
     if best and pre:

@@ -401,3 +401,22 @@ class TestRoiBoxGradients:
         np.testing.assert_allclose(np.asarray(bp), np.asarray(be),
                                    rtol=1e-5, atol=1e-6)
         assert np.abs(np.asarray(be)).max() > 0   # grads actually flow
+
+
+def test_forced_positive_survives_padded_gt_rows():
+    """Padded GT rows all scatter False at proposal 0; a real GT whose
+    argmax proposal IS index 0 must keep its forced positive
+    (duplicate-index scatter uses max, not order-unspecified set)."""
+    from imagecaptioning_tpu.ops.box_sampler import candidate_masks
+
+    proposals = jnp.asarray([[30.0, 30, 18, 18],    # best for the real GT
+                             [90.0, 90, 10, 10],
+                             [70.0, 20, 10, 10],
+                             [20.0, 80, 10, 10]])
+    gt = jnp.asarray([[32.0, 32, 20, 20],           # real
+                      [1.0, 1, 1, 1],               # padding
+                      [1.0, 1, 1, 1]])              # padding
+    gt_mask = jnp.asarray([True, False, False])
+    pos, neg, _ = candidate_masks(proposals, gt, gt_mask)
+    assert bool(pos[0])                 # forced positive not erased
+    assert not bool(neg[0])

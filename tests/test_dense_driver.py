@@ -137,3 +137,33 @@ def test_endless_batches_resume_cursor():
     for want in full_epoch[2:] + full_epoch[:2]:
         got = next(resumed)
         np.testing.assert_array_equal(got["image"], want["image"])
+
+
+def test_resume_cursor_aligns_with_ragged_tail():
+    """With bs not dividing the split, each epoch drops the ragged tail;
+    the resume cursor must wrap in BATCH units so the resumed stream
+    reproduces the uninterrupted one exactly."""
+    from imagecaptioning_tpu.data import synthetic
+    from imagecaptioning_tpu.data.vg_loader import VGDataLoader
+    from imagecaptioning_tpu.config.dense_configs import get_gt_config
+    from imagecaptioning_tpu.train import dense_driver
+
+    arrays, info = synthetic.make_vg_arrays(num_images=13,
+                                            regions_per_image=2)
+    loader = VGDataLoader(arrays=arrays, info=info)
+    n_train = len(loader.train_ix)
+    bs = 4
+    assert n_train % bs != 0, "fixture must have a ragged tail"
+    cfg = get_gt_config().replace(batch_size=bs, max_regions=3)
+    steps_per_epoch = n_train // bs
+
+    full = dense_driver._endless_batches(loader, cfg)
+    want = [next(full) for _ in range(3 * steps_per_epoch)]
+
+    resume_iter = steps_per_epoch + 1      # mid-epoch, past one wrap
+    start = (resume_iter % steps_per_epoch) * bs
+    resumed = dense_driver._endless_batches(loader, cfg,
+                                            start_images=start)
+    for k in range(resume_iter, 3 * steps_per_epoch):
+        got = next(resumed)
+        np.testing.assert_array_equal(got["image"], want[k]["image"])
