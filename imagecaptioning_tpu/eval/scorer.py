@@ -66,9 +66,14 @@ def _corpus_scores(records: Sequence[Dict]) -> Dict:
              if any(rs)]
     if not pairs or not any(c for c, _ in pairs):
         return {"bleu4": 0.0, "cider": 0.0}
-    bleu4 = float(corpus_bleu(
-        [rs for _, rs in pairs], [c for c, _ in pairs],
-        smoothing_function=SmoothingFunction().method1))
+    import warnings
+    with warnings.catch_warnings():
+        # nltk warns per empty/low-overlap hypothesis — expected at
+        # early training, pure log noise in the eval loop
+        warnings.simplefilter("ignore")
+        bleu4 = float(corpus_bleu(
+            [rs for _, rs in pairs], [c for c, _ in pairs],
+            smoothing_function=SmoothingFunction().method1))
     cider = CiderD()
     for c, rs in pairs:
         cider.add(c, rs)
