@@ -1469,3 +1469,56 @@ class TestReferenceGTBeam:
             g_end = np.argmax(g == end) if (g == end).any() else len(g)
             assert w_end == g_end, (b, w, g)
             np.testing.assert_array_equal(g[:g_end], w[:w_end])
+
+
+class TestReferenceGTLanguageTwoLayer:
+    """Differential: the 2-layer GT LSTM config (the reference's
+    committed `2layers_lstm_gt_finetuned_drop0.5` experiment) — covers
+    multi-layer torch LSTM weight porting + stacked-state threading."""
+
+    V, W, D, H, T, B = 22, 16, 40, 24, 6, 3
+
+    def test_two_layer_teacher_forced_matches(self):
+        import torch
+
+        import jax
+        import jax.numpy as jnp
+        from imagecaptioning_tpu.models.heads import LanguageHead
+        from imagecaptioning_tpu.ops import tokens
+        from imagecaptioning_tpu.utils import torch_port as tp
+
+        torch.manual_seed(11)
+        mod = _load_reference_module("AlexGTModel/AlexDenseLangage.py",
+                                     "ref_gt_language_2l")
+        ref = mod.LanguageModel(
+            vocab_size=self.V, input_encoding_size=self.W,
+            image_vector_dim=self.D, rnn_size=self.H,
+            seq_length=self.T, num_layers=2, idx_to_token={},
+            dropout=0.0, device="cpu", curriculum_learning=False)
+        ref.eval()
+        sd = ref.state_dict()
+        head = LanguageHead(vocab_size=self.V, embedding_size=self.W,
+                            rnn_size=self.H, num_layers=2, dropout=0.0,
+                            output_dropout=False)
+        params = jax.tree.map(jnp.asarray, {
+            "image_encoder": tp.convert_linear(sd, "image_encoder.encode"),
+            "lookup_table": tp.convert_embedding(sd, "lookup_table"),
+            "lstm": tp.convert_lstm(sd, "lstm", num_layers=2),
+            "linear": tp.convert_linear(sd, "rnn.linear"),
+        })
+
+        rng = np.random.RandomState(31)
+        codes = rng.randn(self.B, self.D).astype(np.float32)
+        gt = rng.randint(1, self.V + 1,
+                         size=(self.B, self.T)).astype(np.int64)
+        gt[0, 2:] = 0
+        with torch.no_grad():
+            want = ref(torch.from_numpy(codes),
+                       torch.from_numpy(gt)).numpy()
+        dec_in = tokens.decoder_input(jnp.asarray(gt.astype(np.int32)),
+                                      self.V + 1)
+        got = head.apply({"params": params},
+                         jnp.asarray(codes)[:, None, :], dec_in,
+                         deterministic=True)
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=1e-4, atol=1e-4)
