@@ -81,7 +81,8 @@ def candidate_masks(proposals: jnp.ndarray, gt: jnp.ndarray,
     # target index 0 with False and must not erase a real GT's True
     # (duplicate-index .set() order is unspecified).
     best_prop = jnp.where(gt_mask, jnp.argmax(iou, axis=0), 0)
-    force = jnp.zeros_like(pos_mask).at[best_prop].max(gt_mask)
+    force = jnp.zeros(pos_mask.shape, jnp.int32).at[best_prop].max(
+        gt_mask.astype(jnp.int32)) > 0
     pos_mask = jnp.logical_or(pos_mask, force)
     neg_mask = jnp.logical_and(neg_mask, jnp.logical_not(pos_mask))
     # no negatives at all → every proposal becomes a negative candidate

@@ -412,14 +412,40 @@ def train_rpn(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
                                        data_shard, data_shard),
                          donate_argnums=(0,))
 
-    loss_hist = LossHistory(cfg.loss_file, resume=False)
-    res_hist = ResultsHistory(cfg.result_file, resume=False)
+    loss_hist = LossHistory(cfg.loss_file, resume=cfg.from_checkpoint)
+    res_hist = ResultsHistory(cfg.result_file, resume=cfg.from_checkpoint)
     tb = TBWriter(cfg.tensorboard_dir)
 
-    it = 0
+    # resume + preemption, same machinery as train_gt (the reference's
+    # DenseCap/train.py has neither — it is broken as committed)
+    start_iter = 0
+    resume_from = (ckptlib.resume_path(cfg.save_path)
+                   if cfg.from_checkpoint else None)
+    if resume_from:
+        state, _ = ckptlib.restore_checkpoint(resume_from, state)
+        start_iter = int(state.step)
+        # restored leaves land on the default device; replicate onto the
+        # step's mesh so the sharded jit accepts them
+        repl = meshlib.replicated(device_mesh)
+        state = jax.tree.map(lambda x: jax.device_put(np.asarray(x), repl),
+                             state)
+        if verbose:
+            print(f"resumed from {resume_from} at iter {start_iter}")
+    steps_per_epoch = max(len(loader.train_ix) // cfg.batch_size, 1)
+    batches = _endless_batches(
+        loader, cfg,
+        start_images=(start_iter % steps_per_epoch) * cfg.batch_size)
+
+    it = start_iter
     last = {}
-    for batch in _endless_batches(loader, cfg):
+    sig = ckptlib.SignalCheckpointer()
+    sig.__enter__()
+    for batch in batches:
         if it >= max_iter:
+            break
+        if sig.save_if_requested(cfg.save_path + ".preempt", state):
+            if verbose:
+                print(f"preemption checkpoint written at iter {it}")
             break
         t0 = time.perf_counter()
         state, loss_dict = train_step(state, jnp.asarray(batch["image"]),
@@ -451,6 +477,7 @@ def train_rpn(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
             if verbose:
                 print(f"eval@{it}: map={results['ap_results']['map']:.4f}")
 
+    sig.__exit__()
     tb.close()
     return {
         "iters": it, "final_losses": last,

@@ -167,3 +167,28 @@ def test_resume_cursor_aligns_with_ragged_tail():
     for k in range(resume_iter, 3 * steps_per_epoch):
         got = next(resumed)
         np.testing.assert_array_equal(got["image"], want[k]["image"])
+
+
+def test_train_rpn_resumes(tmp_path):
+    """train_rpn resumes from its best checkpoint (same machinery as
+    train_gt; the reference's DenseCap driver has neither)."""
+    from imagecaptioning_tpu.config.dense_configs import get_densecap_config
+    from imagecaptioning_tpu.train import dense_driver
+    from imagecaptioning_tpu.utils import checkpoint as ckptlib
+
+    cfg = get_densecap_config().replace(
+        batch_size=2, max_regions=2, vgg_stages=2, sampler_batch_size=16,
+        compute_dtype="float32", from_checkpoint=False,
+        loss_file=str(tmp_path / "loss.json"),
+        result_file=str(tmp_path / "res.json"),
+        save_path=str(tmp_path / "rpn.ckpt"))
+    out = dense_driver.train_rpn(cfg, max_iter_override=2,
+                                 eval_every_override=2,
+                                 synthetic_images=8, verbose=False)
+    ckptlib.save_checkpoint(cfg.save_path, out["state"])
+    out2 = dense_driver.train_rpn(cfg.replace(from_checkpoint=True),
+                                  max_iter_override=4,
+                                  eval_every_override=4,
+                                  synthetic_images=8, verbose=False)
+    assert out2["iters"] == 4
+    assert all(np.isfinite(v) for v in out2["final_losses"].values())
