@@ -1182,11 +1182,8 @@ class TestReferenceGTLanguageModule:
             np.testing.assert_array_equal(g[:g_end], w[:w_end])
 
 
-class TestReferenceGTTransformer:
-    """Differential: the GT dense transformer (AlexGTModel/
-    AlexTransformer.py — no sqrt(E) embedding scaling, causal-only
-    target mask, sos/eos = V+3−2/V+3−1) with ported weights vs our
-    GTDenseCaptioner transformer components."""
+class _GTTransformerFixture:
+    """Shared ported-weights fixture for the GT transformer tests."""
 
     V3, FC, E, L, HEADS, T, B = 23, 40, 32, 2, 4, 6, 3  # V3 = V + 3
 
@@ -1249,6 +1246,12 @@ class TestReferenceGTTransformer:
         fc = tp.convert_linear(sd, "fc.0")
         to_j = lambda tree: jax.tree.map(jnp.asarray, tree)
         return ref, to_j(fc), to_j(enc_params), to_j(dec_params)
+
+class TestReferenceGTTransformer(_GTTransformerFixture):
+    """Differential: the GT dense transformer (AlexGTModel/
+    AlexTransformer.py — no sqrt(E) embedding scaling, causal-only
+    target mask, sos/eos = V+3−2/V+3−1) with ported weights vs our
+    GTDenseCaptioner transformer components."""
 
     def test_teacher_forced_logits_match_on_live_positions(self, pair):
         import torch
@@ -1522,3 +1525,67 @@ class TestReferenceGTLanguageTwoLayer:
                          deterministic=True)
         np.testing.assert_allclose(np.asarray(got), want,
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestReferenceGTTransformerBeam(_GTTransformerFixture):
+    """Differential: the GT transformer's per-sample log-prob beam
+    (AlexTransformer.py:309-345, frozen-END semantics) vs our fused
+    cached beam with the same ported weights."""
+
+    def test_top_beam_matches(self, pair):
+        import torch
+
+        import jax.numpy as jnp
+        from imagecaptioning_tpu.models import decoding
+        from imagecaptioning_tpu.ops.transformer import Decoder, Encoder
+
+        ref, fc, enc_params, dec_params = pair
+        rng = np.random.RandomState(41)
+        codes = rng.randn(self.B, self.FC).astype(np.float32)
+        K = 3
+        max_steps = self.T + 1            # ref.max_length
+        with torch.no_grad():
+            wants = [ref.beam_search(torch.from_numpy(codes[i:i + 1]),
+                                     K).numpy() for i in range(self.B)]
+
+        enc_mod = Encoder(embed_size=self.E, num_layers=self.L,
+                          heads=self.HEADS, forward_expansion=4,
+                          dropout=0.0, patch_length=1)
+        dec_mod = Decoder(vocab_out=self.V3, embed_size=self.E,
+                          num_layers=self.L, heads=self.HEADS,
+                          forward_expansion=4, dropout=0.0,
+                          max_length=max_steps, scale_embedding=False)
+        word_vec = jnp.maximum(
+            jnp.asarray(codes)[:, None, :] @ fc["kernel"] + fc["bias"],
+            0.0)
+        enc = enc_mod.apply({"params": enc_params}, word_vec, None,
+                            deterministic=True)
+        enc_k = decoding.expand_for_beams(enc, K)
+        toks0 = jnp.zeros((self.B * K, max_steps), jnp.int32)
+        _, variables = dec_mod.apply(
+            {"params": dec_params}, toks0, enc_k, None, None,
+            decode=True, decode_position=jnp.array(0, jnp.int32),
+            mutable=["cache"])
+        cache = variables["cache"]
+
+        def step(carry, toks, t):
+            (logits, _), mut = dec_mod.apply(
+                {"params": dec_params, "cache": carry}, toks, enc_k,
+                None, None, decode=True, decode_position=t,
+                mutable=["cache"])
+            return mut["cache"], logits[:, 0], jnp.zeros(
+                (toks.shape[0], 1), jnp.float32)
+
+        sos, eos = self.V3 - 2, self.V3 - 1
+        res = decoding.beam_search(step, cache, self.B, K,
+                                   start_token=sos, end_token=eos,
+                                   max_steps=max_steps,
+                                   use_logprobs=True)
+        got = np.asarray(res.tokens)
+        for b in range(self.B):
+            w = wants[b][0].astype(np.int64)    # ref row 0 = best beam
+            g = got[b, 0]
+            w_end = np.argmax(w == eos) if (w == eos).any() else len(w)
+            g_end = np.argmax(g == eos) if (g == eos).any() else len(g)
+            assert w_end == g_end, (b, w, g)
+            np.testing.assert_array_equal(g[:g_end], w[:w_end])
