@@ -9,31 +9,161 @@ teacher-forced decode, backward, Adam update) is one donated XLA
 program in bf16 on the TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Built to survive a cold, flaky TPU relay:
+- persistent XLA compilation cache under runs/xla_cache (a re-run skips
+  the ResNet-101 scan compile entirely);
+- heartbeat lines on stderr at every phase plus a 30 s watchdog, so a
+  timed-out capture's tail says exactly where it died;
+- a wall-clock budget (--budget, default 420 s): measurement is sized
+  adaptively from a calibration call and degrades to a single call
+  rather than blowing the deadline — the JSON line always prints if the
+  backend makes any progress at all;
+- every successful run appends its raw result + environment to
+  runs/bench/results.jsonl (the committed evidence behind README
+  numbers).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+import threading
 import time
 from functools import partial
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
+T0 = time.time()
+REPO = os.path.dirname(os.path.abspath(__file__))
 REFERENCE_IMG_PER_SEC = 115.0   # BASELINE.md: 103.8 ms @ bs12
+_PHASE = {"name": "startup", "since": T0}
+
+
+def hb(msg: str) -> None:
+    print(f"[bench {time.time() - T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def phase(name: str) -> None:
+    _PHASE["name"], _PHASE["since"] = name, time.time()
+    hb(name)
+
+
+def start_watchdog(interval: float = 30.0) -> None:
+    """Every `interval` s, report the phase we are (possibly stuck) in —
+    a timed-out run's stderr tail then pinpoints the hang."""
+    def run():
+        while True:
+            time.sleep(interval)
+            hb(f"watchdog: still in '{_PHASE['name']}' "
+               f"({time.time() - _PHASE['since']:.0f}s so far)")
+    threading.Thread(target=run, daemon=True).start()
+
+
+def setup_jax():
+    """Compilation cache + platform override, before backend init."""
+    phase("importing jax")
+    import jax
+    # Honor an explicit JAX_PLATFORMS env even when a TPU-tunnel
+    # sitecustomize force-set jax_platforms at interpreter start.
+    want = os.environ.get("JAX_PLATFORMS")
+    if want and (jax.config.jax_platforms or "") != want:
+        try:
+            jax.config.update("jax_platforms", want)
+        except RuntimeError:
+            pass
+    phase("acquiring devices (backend init)")
+    devs = jax.devices()
+    hb(f"devices: {devs}")
+    if devs[0].platform != "cpu":
+        # Persistent compilation cache: a re-run (or the driver's run
+        # after ours) skips the whole ResNet-101 scan compile. Set
+        # before the first compile; skipped on CPU where XLA:CPU AOT
+        # reload across machines is unreliable.
+        cache = os.path.join(REPO, "runs", "xla_cache")
+        os.makedirs(cache, exist_ok=True)
+        for flag, val in (("jax_compilation_cache_dir", cache),
+                          ("jax_persistent_cache_min_compile_time_secs", 0.0),
+                          ("jax_persistent_cache_min_entry_size_bytes", -1)):
+            try:
+                jax.config.update(flag, val)
+            except (AttributeError, ValueError):
+                pass
+        hb(f"compilation cache at {cache}")
+    return jax
+
+
+def emit(payload: dict, args) -> None:
+    """Print THE one JSON line; append the raw evidence artifact."""
+    print(json.dumps(payload), flush=True)
+    try:
+        import jax
+        rec = dict(payload)
+        rec.update({
+            "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "platform": jax.devices()[0].platform,
+            "device_kind": jax.devices()[0].device_kind,
+            "n_devices": len(jax.devices()),
+            "argv": sys.argv[1:],
+            "elapsed_s": round(time.time() - T0, 1),
+            "jax": jax.__version__,
+        })
+        out = os.path.join(REPO, "runs", "bench")
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(out, "results.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        hb(f"result appended to runs/bench/results.jsonl: {payload}")
+    except Exception as e:                      # evidence is best-effort
+        hb(f"artifact write failed (non-fatal): {e}")
+
+
+def measure_chained(call, sync, batch_items: int, args):
+    """Timed measurement of a chained-dispatch `call()` stream.
+
+    `call()` advances the computation one dispatch (carrying device
+    state so calls cannot be elided); `sync()` forces completion with a
+    real host readback. Returns (items, seconds). Sized adaptively:
+    one synced calibration call estimates the per-call cost, then as
+    many chained calls as fit the measurement window / budget run with
+    a single final sync (per-call syncs would bill relay latency to
+    the device)."""
+    deadline = T0 + args.budget
+    phase("warmup call")
+    call(); sync()
+    phase("calibration call")
+    t0 = time.perf_counter()
+    call(); sync()
+    est = max(time.perf_counter() - t0, 1e-3)
+    hb(f"calibration: {est:.3f}s/call "
+       f"(~{batch_items / est:.0f} items/sec incl. sync)")
+    room = max(deadline - time.time() - 10.0, est)  # keep 10s slack
+    n_calls = int(max(1, min(args.max_calls,
+                             min(args.measure_s, room) / est)))
+    phase(f"measuring: {n_calls} chained calls")
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        call()
+    sync()
+    dt = time.perf_counter() - t0
+    hb(f"measured {n_calls} calls in {dt:.2f}s")
+    return n_calls * batch_items, dt
 
 
 def bench_decode(args):
     """Secondary metric: captions/sec under fused beam-search decode —
     BASELINE.json names it; the reference never measured its Python beam
     loops, so there is no vs_baseline (reported as null)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from imagecaptioning_tpu.data import transforms
     from imagecaptioning_tpu.models import api
 
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     fam = _family_table()[args.family]
+    phase(f"building {args.family} model (bs={args.batch_size})")
     model = fam["make"](args.vocab, args.seq_length, dtype)
     rng = np.random.RandomState(0)
     b = args.batch_size
@@ -42,37 +172,54 @@ def bench_decode(args):
     x = transforms.resnet_v2_preprocess(images_u8, dtype=dtype)
     gt = jnp.asarray(rng.randint(1, args.vocab + 1,
                                  size=(b, args.seq_length), dtype=np.int32))
+    phase("init params on device")
     variables = model.init({"params": jax.random.PRNGKey(0),
                             "dropout": jax.random.PRNGKey(1)}, x, gt,
                            train=False)
     beam = api.make_beam_fn(model, args.seq_length + 1, args.beam_size)
 
     # Chain every call through a carry scalar so the runtime cannot
-    # overlap/elide identical dispatches, and synchronize with a real
-    # host readback (block_until_ready does not reliably block through
+    # overlap/elide identical dispatches; synchronize with a real host
+    # readback (block_until_ready does not reliably block through
     # remote-relay backends).
     @jax.jit
     def chained(variables, x, carry):
         res = beam(variables, x + carry * 0)
-        return res, carry + res.scores[0, 0] * 0 + 1
+        return res.scores[0, 0] * 0 + carry + 1
 
-    carry = jnp.float32(0)
-    for _ in range(args.warmup):
-        res, carry = chained(variables, x, carry)
-    carry = jnp.float32(float(carry))
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        res, carry = chained(variables, x, carry)
-    float(carry)                      # host sync: forces all steps
-    dt = time.perf_counter() - t0
-    print(json.dumps({
+    box = {"carry": jnp.float32(0)}
+    phase(f"compile: beam decode (beam={args.beam_size})")
+
+    def call():
+        box["carry"] = chained(variables, x, box["carry"])
+
+    def sync():
+        box["carry"] = jnp.float32(float(box["carry"]))
+
+    items, dt = measure_chained(call, sync, b, args)
+    emit({
         "metric": fam["metric"].replace(
             "_train_images_per_sec",
             f"_beam{args.beam_size}_captions_per_sec"),
-        "value": round(args.steps * b / dt, 2),
+        "value": round(items / dt, 2),
         "unit": "captions/sec",
         "vs_baseline": None,
-    }))
+    }, args)
+
+
+def _dense_inputs(args, jnp, np, dtype):
+    rng = np.random.RandomState(0)
+    b, r, s = args.batch_size, args.max_regions, args.image_size
+    images = jnp.asarray(rng.randint(0, 256, size=(b, s, s, 3),
+                                     dtype=np.uint8))
+    wh = rng.uniform(32, s // 2, size=(b, r, 2))
+    cxy = rng.uniform(s * 0.25, s * 0.75, size=(b, r, 2))
+    boxes = jnp.asarray(np.concatenate([cxy, wh], -1).astype(np.float32))
+    labels = jnp.asarray(rng.randint(1, args.vocab + 1,
+                                     size=(b, r, args.seq_length),
+                                     dtype=np.int32))
+    mask = jnp.ones((b, r), jnp.float32)
+    return images, boxes, labels, mask
 
 
 def bench_dense(args):
@@ -81,6 +228,10 @@ def bench_dense(args):
     head → backward → Adam, one donated program. The reference's
     traingt.py path is locked to one image per step and never published
     a step time, so vs_baseline is null."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from imagecaptioning_tpu.config.dense_configs import get_gt_config
     from imagecaptioning_tpu.train import dense_driver
     from imagecaptioning_tpu.train.step import TrainState
@@ -91,24 +242,15 @@ def bench_dense(args):
         use_pallas_roi=args.pallas_roi,
         compute_dtype="float32" if args.fp32 else "bfloat16")
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    phase(f"building GT dense model (bs={b}, regions={r}, img={s})")
     model = dense_driver.build_gt_model(cfg, vocab_size=args.vocab,
                                         seq_length=args.seq_length)
     tx = dense_driver.make_dense_optimizer(cfg, finetune_start_step=10**9)
-
-    rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.randint(0, 256, size=(b, s, s, 3),
-                                     dtype=np.uint8))
-    # random sane boxes in xcycwh, padded slab of r regions per image
-    wh = rng.uniform(32, s // 2, size=(b, r, 2))
-    cxy = rng.uniform(s * 0.25, s * 0.75, size=(b, r, 2))
-    boxes = jnp.asarray(np.concatenate([cxy, wh], -1).astype(np.float32))
-    labels = jnp.asarray(rng.randint(1, args.vocab + 1,
-                                     size=(b, r, args.seq_length),
-                                     dtype=np.int32))
-    mask = jnp.ones((b, r), jnp.float32)
+    images, boxes, labels, mask = _dense_inputs(args, jnp, np, dtype)
 
     from imagecaptioning_tpu.data.vg_loader import normalize_images
     x0 = normalize_images(images, dtype=dtype)
+    phase("init params on device")
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
          "sampling": jax.random.PRNGKey(2)},
@@ -129,21 +271,97 @@ def bench_dense(args):
         state, losses = jax.lax.scan(body, state, None, length=spc)
         return state, losses[-1]
 
-    for _ in range(max(args.warmup // spc, 1)):
-        state, loss = train_many(state)
-    float(loss)
-    n_calls = max(args.steps // spc, 1)
-    t0 = time.perf_counter()
-    for _ in range(n_calls):
-        state, loss = train_many(state)
-    float(loss)                       # host sync: forces all steps
-    dt = time.perf_counter() - t0
-    print(json.dumps({
+    box = {"state": state, "loss": None}
+    phase(f"compile: GT dense train scan (spc={spc})")
+
+    def call():
+        box["state"], box["loss"] = train_many(box["state"])
+
+    def sync():
+        float(box["loss"])
+
+    items, dt = measure_chained(call, sync, spc * b * r, args)
+    emit({
         "metric": f"gt_dense_train_regions_per_sec_img{s}",
-        "value": round(n_calls * spc * b * r / dt, 2),
+        "value": round(items / dt, 2),
         "unit": "regions/sec",
         "vs_baseline": None,
-    }))
+    }, args)
+
+
+def bench_dense_decode(args):
+    """Serving path of the RPN DenseCap family: VGG16 trunk → RPN →
+    clip → NMS(0.7) → proposal budget → ROI pool → objectness + box
+    refinement → final NMS(0.3) → greedy per-region captions, all one
+    jitted program (reference: LocalizationLayer.py:195-255 +
+    DenseCapModel.py:177-197 — per-image Python, never timed, so
+    vs_baseline is null). Reported as surviving regions/sec."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from imagecaptioning_tpu.config.dense_configs import get_densecap_config
+    from imagecaptioning_tpu.train import dense_driver
+
+    b, s = args.batch_size, args.image_size
+    cfg = get_densecap_config().replace(
+        batch_size=b, use_lstm=True,
+        compute_dtype="float32" if args.fp32 else "bfloat16")
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    phase(f"building RPN dense model (bs={b}, img={s})")
+    model = dense_driver.build_rpn_model(cfg, vocab_size=args.vocab,
+                                         seq_length=args.seq_length)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randint(0, 256, size=(b, s, s, 3),
+                                     dtype=np.uint8))
+    from imagecaptioning_tpu.data.vg_loader import normalize_images
+    x0 = normalize_images(images, dtype=dtype)
+    gt_boxes = jnp.asarray(rng.uniform(100, 200, (b, 4, 4)).astype(
+        np.float32))
+    gt_mask = jnp.ones((b, 4), jnp.float32)
+    gt_labels = jnp.asarray(rng.randint(
+        1, args.vocab - 2, size=(b, 4, args.seq_length), dtype=np.int32))
+    phase("init params on device")
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "sampling": jax.random.PRNGKey(2)},
+        x0, gt_boxes, gt_mask, gt_labels, train=False)
+
+    greedy_steps = args.seq_length + 1
+
+    @jax.jit
+    def serve(variables, images_u8, carry):
+        x = normalize_images(images_u8 + carry.astype(jnp.uint8) * 0,
+                             dtype=dtype)
+        boxes, scores, codes, keep = model.apply(
+            variables, x, method=model.forward_test)
+        toks = model.apply(variables, codes.reshape(-1, codes.shape[-1]),
+                           greedy_steps, method=model.generate_captions)
+        n_kept = keep.sum()
+        return (boxes, toks, n_kept,
+                carry + scores[0, 0].astype(jnp.float32) * 0 + 1)
+
+    box = {"carry": jnp.float32(0), "kept": None}
+    phase("compile: forward_test + NMS + greedy captions")
+
+    def call():
+        _, _, box["kept"], box["carry"] = serve(variables, images,
+                                                box["carry"])
+
+    def sync():
+        box["carry"] = jnp.float32(float(box["carry"]))
+
+    # items per call = regions that actually survive both NMS passes
+    call(); kept = float(box["kept"]); sync()
+    hb(f"surviving regions/batch: {kept:.0f} "
+       f"(budget {model.test_proposals}/image)")
+    items, dt = measure_chained(call, sync, max(kept, 1.0), args)
+    emit({
+        "metric": f"rpn_dense_decode_regions_per_sec_img{s}",
+        "value": round(items / dt, 2),
+        "unit": "regions/sec",
+        "vs_baseline": None,
+    }, args)
 
 
 def bench_input(args):
@@ -158,6 +376,7 @@ def bench_input(args):
     from imagecaptioning_tpu.data.loader import (AlexDataLoader,
                                                  prefetch_batches)
 
+    phase("building synthetic store")
     arrays, info = synthetic.make_face2text_arrays(
         num_images=args.input_images, seed=0)
     loader = AlexDataLoader(arrays=arrays, info=info)
@@ -173,26 +392,30 @@ def bench_input(args):
             yield from loader.epoch_batches(0, b)
 
     it = prefetch_batches(epochs(), size=4, device_put=lambda x: x)
+    phase("warmup")
     for _ in range(args.warmup):
         next(it)
+    phase("measuring")
     t0 = time.perf_counter()
     n = 0
     for _ in range(args.steps):
         images, labels = next(it)
         n += images.shape[0]
     dt = time.perf_counter() - t0
-    print(json.dumps({
+    emit({
         "metric": "host_input_pipeline_images_per_sec",
         "value": round(n / dt, 2),
         "unit": "images/sec",
         "vs_baseline": None,
-    }))
+    }, args)
 
 
 # Per-family definitions: model factory, default batch, metric name, and
 # the reference's measured img/s where one exists (BASELINE.md — the
 # reference only timed the LSTM and ViT-B families).
 def _family_table():
+    import jax.numpy as jnp  # noqa: F401
+
     from imagecaptioning_tpu.config import (
         get_lstm_attention_config, get_lstm_config, get_transformer_config,
         get_vitb_config)
@@ -229,57 +452,21 @@ def _family_table():
     }
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch-size", type=int, default=None,
-                    help="default: per-family (128 lstm, 64 others)")
-    ap.add_argument("--family",
-                    choices=["lstm", "attention", "transformer", "vitb"],
-                    default="lstm")
-    ap.add_argument("--steps", type=int, default=100)
-    ap.add_argument("--warmup", type=int, default=20)
-    ap.add_argument("--vocab", type=int, default=2048)
-    ap.add_argument("--seq-length", type=int, default=16)
-    ap.add_argument("--beam-size", type=int, default=3)
-    ap.add_argument("--fp32", action="store_true")
-    ap.add_argument("--metric",
-                    choices=["train", "decode", "dense", "input"],
-                    default="train")
-    ap.add_argument("--input-images", type=int, default=2048,
-                    help="input metric: synthetic store size")
-    ap.add_argument("--max-regions", type=int, default=32)
-    ap.add_argument("--pallas-roi", action="store_true",
-                    help="dense metric: explicit Pallas ROI kernel "
-                         "instead of the einsum form")
-    ap.add_argument("--image-size", type=int, default=512)
-    ap.add_argument("--steps-per-call", type=int, default=20,
-                    help="train steps fused into one XLA program via "
-                         "lax.scan — amortizes host dispatch, which "
-                         "dominates through the remote TPU relay")
-    args = ap.parse_args()
-    if args.metric == "dense":
-        if args.batch_size is None:
-            args.batch_size = 8
-        return bench_dense(args)
-    if args.metric == "input":
-        if args.batch_size is None:
-            args.batch_size = 128
-        return bench_input(args)
-    fam = _family_table()[args.family]
-    if args.batch_size is None:
-        args.batch_size = (fam.get("decode_batch", fam["batch"])
-                           if args.metric == "decode" else fam["batch"])
-    if args.metric == "decode":
-        return bench_decode(args)
+def bench_train(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
     from imagecaptioning_tpu.data import transforms
     from imagecaptioning_tpu.train import optim, step as steplib
 
+    fam = _family_table()[args.family]
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     # frozen-encoder phase, exactly the reference's measured
     # configuration (train_LSTM.py:48-54, requires_grad_(False)):
     # gradients stop at the encoder output — no conv backward — and the
     # encoder group receives zero updates.
+    phase(f"building {args.family} model (bs={args.batch_size})")
     model = fam["make"](args.vocab, args.seq_length, dtype)
     cfg = fam["cfg"]().replace(batch_size=args.batch_size)
     tx = optim.make_optimizer(cfg, total_steps=10_000,
@@ -296,6 +483,7 @@ def main():
     def preprocess(u8):
         return transforms.resnet_v2_preprocess(u8, dtype=dtype)
 
+    phase("init params on device")
     x0 = preprocess(images_u8)
     state, _ = steplib.create_train_state(model, tx, x0, gt)
     step_fn = steplib.make_train_step(model, tx, preprocess=preprocess)
@@ -318,26 +506,83 @@ def main():
     # loss forces every step to have executed. Use a real host readback
     # (float) — block_until_ready does not reliably block through
     # remote-relay backends.
-    for _ in range(max(args.warmup // spc, 1)):
-        state, loss = train_many(state, images_u8, gt)
-    float(loss)
+    box = {"state": state, "loss": None}
+    phase(f"compile: train scan (spc={spc})")
 
-    n_calls = max(args.steps // spc, 1)
-    t0 = time.perf_counter()
-    for _ in range(n_calls):
-        state, loss = train_many(state, images_u8, gt)
-    float(loss)                       # host sync: forces all steps
-    dt = time.perf_counter() - t0
+    def call():
+        box["state"], box["loss"] = train_many(box["state"], images_u8, gt)
 
-    img_per_sec = n_calls * spc * b / dt
+    def sync():
+        float(box["loss"])
+
+    items, dt = measure_chained(call, sync, spc * b, args)
+    img_per_sec = items / dt
     baseline = fam["baseline"]
-    print(json.dumps({
+    emit({
         "metric": fam["metric"],
         "value": round(img_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": (round(img_per_sec / baseline, 3)
                         if baseline else None),
-    }))
+    }, args)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="default: per-family (128 lstm, 64 others)")
+    ap.add_argument("--family",
+                    choices=["lstm", "attention", "transformer", "vitb"],
+                    default="lstm")
+    ap.add_argument("--budget", type=float,
+                    default=float(os.environ.get("BENCH_BUDGET_S", 420)),
+                    help="wall-clock budget (s); measurement degrades to "
+                         "a single call rather than blowing it")
+    ap.add_argument("--measure-s", type=float, default=8.0,
+                    help="target steady-state measurement window")
+    ap.add_argument("--max-calls", type=int, default=50)
+    ap.add_argument("--steps", type=int, default=100,
+                    help="input metric only")
+    ap.add_argument("--warmup", type=int, default=10,
+                    help="input metric only")
+    ap.add_argument("--vocab", type=int, default=2048)
+    ap.add_argument("--seq-length", type=int, default=16)
+    ap.add_argument("--beam-size", type=int, default=3)
+    ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--metric",
+                    choices=["train", "decode", "dense", "dense-decode",
+                             "input"],
+                    default="train")
+    ap.add_argument("--input-images", type=int, default=2048,
+                    help="input metric: synthetic store size")
+    ap.add_argument("--max-regions", type=int, default=32)
+    ap.add_argument("--pallas-roi", action="store_true",
+                    help="dense metric: explicit Pallas ROI kernel "
+                         "instead of the einsum form")
+    ap.add_argument("--image-size", type=int, default=512)
+    ap.add_argument("--steps-per-call", type=int, default=10,
+                    help="train steps fused into one XLA program via "
+                         "lax.scan — amortizes host dispatch, which "
+                         "dominates through the remote TPU relay")
+    args = ap.parse_args()
+    start_watchdog()
+    defaults = {"dense": 8, "dense-decode": 4, "input": 128}
+    if args.batch_size is None and args.metric in defaults:
+        args.batch_size = defaults[args.metric]
+    if args.metric == "input":
+        return bench_input(args)
+    setup_jax()
+    if args.metric == "dense":
+        return bench_dense(args)
+    if args.metric == "dense-decode":
+        return bench_dense_decode(args)
+    fam = _family_table()[args.family]
+    if args.batch_size is None:
+        args.batch_size = (fam.get("decode_batch", fam["batch"])
+                           if args.metric == "decode" else fam["batch"])
+    if args.metric == "decode":
+        return bench_decode(args)
+    return bench_train(args)
 
 
 if __name__ == "__main__":
