@@ -19,31 +19,12 @@ import argparse
 import numpy as np
 
 from imagecaptioning_tpu.utils import torch_port as tp
+from imagecaptioning_tpu.utils.pretrained import (flatten_tree as _flatten,
+                                                  unflatten_tree as
+                                                  _unflatten)
 
 ARCHS = ("resnet50", "resnet101", "resnet152", "vgg16_features",
          "vgg16_classifier", "vit_b_16")
-
-
-def _flatten(tree, prefix=""):
-    out = {}
-    for k, v in tree.items():
-        key = f"{prefix}/{k}" if prefix else str(k)
-        if isinstance(v, dict):
-            out.update(_flatten(v, key))
-        else:
-            out[key] = np.asarray(v)
-    return out
-
-
-def _unflatten(flat):
-    tree = {}
-    for key, v in flat.items():
-        parts = key.split("/")
-        node = tree
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = v
-    return tree
 
 
 def do_import(arch: str, src: str, dst: str) -> None:

@@ -111,6 +111,11 @@ class DenseConfig:
     tensorboard_dir: str = ""    # '' = off; optional TB event stream
     vgg_stages: int = 5          # VGG trunk depth (5 = full; tests shrink)
     use_pallas_roi: bool = False  # explicit Pallas ROI kernel (GT path, TPU)
+    # Pretrained VGG weights merged into init params (the reference
+    # builds from vgg16 IMAGENET1K_V1, net_utils.py:8-13). Syntax:
+    # 'features=vgg_feat.npz,classifier=vgg_cls.npz' (GT) or
+    # 'conv_trunk=...,recog_base=...' (RPN); see utils/pretrained.py.
+    encoder_init: str = ""
 
     def replace(self, **kw) -> "DenseConfig":
         return replace(self, **kw)

@@ -223,6 +223,14 @@ def train_gt(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
                        tx.init(variables["params"]),
                        variables.get("batch_stats", {}),
                        jax.random.PRNGKey(cfg.seed + 1))
+    if cfg.encoder_init:
+        # The reference builds from pretrained VGG16 IMAGENET1K_V1
+        # (net_utils.py:8-13); merge converted weights into init params.
+        from imagecaptioning_tpu.utils import pretrained
+        state = pretrained.apply_encoder_init(state, cfg.encoder_init,
+                                              "features")
+        if verbose:
+            print(f"encoder initialized from {cfg.encoder_init}")
 
     # Data-parallel over the mesh: batch dims sharded on 'data', state
     # replicated; XLA inserts the gradient all-reduce over ICI.
@@ -257,50 +265,55 @@ def train_gt(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
         start_images=(start_iter % steps_per_epoch) * cfg.batch_size)
     it = start_iter
     last_loss = float("nan")
-    sig = ckptlib.SignalCheckpointer()
-    sig.__enter__()
-    for batch in batches:
-        if it >= max_iter:
-            break
-        if sig.save_if_requested(save_path + ".preempt", state):
-            if verbose:
-                print(f"preemption checkpoint written at iter {it}")
-            break
-        tp = teacher_prob_schedule(it)
-        t0 = time.perf_counter()
-        state, metrics = train_step(state, jnp.asarray(batch["image"]),
-                                    jnp.asarray(batch["boxes"]),
-                                    jnp.asarray(batch["labels"]),
-                                    jnp.asarray(batch["box_mask"]), tp)
-        last_loss = float(metrics["captioning_loss"])
-        step_ms = (time.perf_counter() - t0) * 1000.0
-        it += 1
-        if it % pad == 0:
-            loss_hist.append(it, last_loss, step_ms)
-            loss_hist.flush()
-            tb.scalar("train/captioning_loss", last_loss, it)
-            tb.scalar("train/step_ms", step_ms, it)
-            if verbose:
-                print(f"iter {it}/{max_iter} captioning_loss "
-                      f"{last_loss:.5f} ({step_ms:.1f} ms)")
-        if it % eval_every == 0 or it == max_iter:
-            results = dense_eval.eval_split_gt(
-                model, {"params": state.params}, loader, split=1,
-                batch_size=cfg.eval_batch_size,
-                max_regions=cfg.max_regions)
-            is_best = res_hist.append(it, results,
-                                      score_key=("ap_results", "map"))
-            res_hist.flush()
-            tb.scalars(results.get("ap_results", {}), it, prefix="val/")
-            tb.flush()
-            if verbose:
-                print(f"eval@{it}: map={results['ap_results']['map']:.4f} "
-                      f"best={is_best}")
-            if is_best:
-                ckptlib.save_checkpoint(save_path, state)
-
-    sig.__exit__()
-    tb.close()
+    # Exception-safe teardown: an exception mid-loop must still restore
+    # the SIGTERM/SIGINT handlers and close the TB event stream.
+    try:
+        with ckptlib.SignalCheckpointer() as sig:
+            for batch in batches:
+                if it >= max_iter:
+                    break
+                if sig.save_if_requested(save_path + ".preempt", state):
+                    if verbose:
+                        print(f"preemption checkpoint written at iter {it}")
+                    break
+                tp = teacher_prob_schedule(it)
+                t0 = time.perf_counter()
+                state, metrics = train_step(
+                    state, jnp.asarray(batch["image"]),
+                    jnp.asarray(batch["boxes"]),
+                    jnp.asarray(batch["labels"]),
+                    jnp.asarray(batch["box_mask"]), tp)
+                last_loss = float(metrics["captioning_loss"])
+                step_ms = (time.perf_counter() - t0) * 1000.0
+                it += 1
+                if it % pad == 0:
+                    loss_hist.append(it, last_loss, step_ms)
+                    loss_hist.flush()
+                    tb.scalar("train/captioning_loss", last_loss, it)
+                    tb.scalar("train/step_ms", step_ms, it)
+                    if verbose:
+                        print(f"iter {it}/{max_iter} captioning_loss "
+                              f"{last_loss:.5f} ({step_ms:.1f} ms)")
+                if it % eval_every == 0 or it == max_iter:
+                    results = dense_eval.eval_split_gt(
+                        model, {"params": state.params}, loader, split=1,
+                        batch_size=cfg.eval_batch_size,
+                        max_regions=cfg.max_regions)
+                    is_best = res_hist.append(it, results,
+                                              score_key=("ap_results",
+                                                         "map"))
+                    res_hist.flush()
+                    tb.scalars(results.get("ap_results", {}), it,
+                               prefix="val/")
+                    tb.flush()
+                    if verbose:
+                        print(f"eval@{it}: "
+                              f"map={results['ap_results']['map']:.4f} "
+                              f"best={is_best}")
+                    if is_best:
+                        ckptlib.save_checkpoint(save_path, state)
+    finally:
+        tb.close()
     return {
         "iters": it,
         "final_loss": last_loss,
@@ -403,6 +416,12 @@ def train_rpn(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
                        tx.init(variables["params"]),
                        variables.get("batch_stats", {}),
                        jax.random.PRNGKey(cfg.seed + 1))
+    if cfg.encoder_init:
+        from imagecaptioning_tpu.utils import pretrained
+        state = pretrained.apply_encoder_init(state, cfg.encoder_init,
+                                              "conv_trunk")
+        if verbose:
+            print(f"encoder initialized from {cfg.encoder_init}")
     from imagecaptioning_tpu.parallel import mesh as meshlib
     device_mesh = meshlib.mesh_for_batch(cfg.batch_size, cfg.mesh_shape,
                                          cfg.mesh_axis_names)
@@ -438,47 +457,54 @@ def train_rpn(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
 
     it = start_iter
     last = {}
-    sig = ckptlib.SignalCheckpointer()
-    sig.__enter__()
-    for batch in batches:
-        if it >= max_iter:
-            break
-        if sig.save_if_requested(cfg.save_path + ".preempt", state):
-            if verbose:
-                print(f"preemption checkpoint written at iter {it}")
-            break
-        t0 = time.perf_counter()
-        state, loss_dict = train_step(state, jnp.asarray(batch["image"]),
-                                      jnp.asarray(batch["boxes"]),
-                                      jnp.asarray(batch["box_mask"]),
-                                      jnp.asarray(batch["labels"]))
-        last = {k: float(v) for k, v in loss_dict.items()}
-        step_ms = (time.perf_counter() - t0) * 1000.0
-        it += 1
-        if it % cfg.losses_log_every == 0:
-            loss_hist.append(it, last["total"], step_ms)
-            loss_hist.flush()
-            tb.scalars(last, it, prefix="train/")
-            tb.scalar("train/step_ms", step_ms, it)
-            if verbose:
-                msg = ", ".join(f"{k}: {v:.5f}" for k, v in last.items())
-                print(f"iter {it}/{max_iter} -> {msg}")
-        if it % eval_every == 0 or it == max_iter:
-            results = eval_split_rpn(model, {"params": state.params},
-                                     loader, split=1,
-                                     max_regions=cfg.max_regions)
-            is_best = res_hist.append(it, results,
-                                      score_key=("ap_results", "map"))
-            res_hist.flush()
-            if is_best:
-                ckptlib.save_checkpoint(cfg.save_path, state)
-            tb.scalars(results.get("ap_results", {}), it, prefix="val/")
-            tb.flush()
-            if verbose:
-                print(f"eval@{it}: map={results['ap_results']['map']:.4f}")
-
-    sig.__exit__()
-    tb.close()
+    # Exception-safe teardown (same as train_gt): restore signal
+    # handlers and close TB even when the loop raises.
+    try:
+        with ckptlib.SignalCheckpointer() as sig:
+            for batch in batches:
+                if it >= max_iter:
+                    break
+                if sig.save_if_requested(cfg.save_path + ".preempt", state):
+                    if verbose:
+                        print(f"preemption checkpoint written at iter {it}")
+                    break
+                t0 = time.perf_counter()
+                state, loss_dict = train_step(
+                    state, jnp.asarray(batch["image"]),
+                    jnp.asarray(batch["boxes"]),
+                    jnp.asarray(batch["box_mask"]),
+                    jnp.asarray(batch["labels"]))
+                last = {k: float(v) for k, v in loss_dict.items()}
+                step_ms = (time.perf_counter() - t0) * 1000.0
+                it += 1
+                if it % cfg.losses_log_every == 0:
+                    loss_hist.append(it, last["total"], step_ms)
+                    loss_hist.flush()
+                    tb.scalars(last, it, prefix="train/")
+                    tb.scalar("train/step_ms", step_ms, it)
+                    if verbose:
+                        msg = ", ".join(f"{k}: {v:.5f}"
+                                        for k, v in last.items())
+                        print(f"iter {it}/{max_iter} -> {msg}")
+                if it % eval_every == 0 or it == max_iter:
+                    results = eval_split_rpn(model,
+                                             {"params": state.params},
+                                             loader, split=1,
+                                             max_regions=cfg.max_regions)
+                    is_best = res_hist.append(it, results,
+                                              score_key=("ap_results",
+                                                         "map"))
+                    res_hist.flush()
+                    if is_best:
+                        ckptlib.save_checkpoint(cfg.save_path, state)
+                    tb.scalars(results.get("ap_results", {}), it,
+                               prefix="val/")
+                    tb.flush()
+                    if verbose:
+                        print(f"eval@{it}: "
+                              f"map={results['ap_results']['map']:.4f}")
+    finally:
+        tb.close()
     return {
         "iters": it, "final_losses": last,
         "best_val_score": res_hist.best_score,

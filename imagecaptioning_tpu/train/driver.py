@@ -104,6 +104,16 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
     x0 = preprocess(jnp.asarray(sample_imgs))
     state, _ = steplib.create_train_state(model, tx, x0,
                                           jnp.asarray(sample_gt), cfg.seed)
+    if cfg.encoder_init:
+        # The reference builds from pretrained torchvision weights
+        # (LSTMModel.py:18-27, VitbModel.py:156-166); here a converted
+        # .npz replaces the freshly-initialized encoder subtree.
+        from imagecaptioning_tpu.utils import pretrained
+        state = pretrained.apply_encoder_init(
+            state, cfg.encoder_init,
+            pretrained.default_module_for(cfg.model_type))
+        if verbose:
+            print(f"encoder initialized from {cfg.encoder_init}")
 
     device_mesh = meshlib.mesh_for_batch(bs, cfg.mesh_shape,
                                          cfg.mesh_axis_names)
@@ -150,53 +160,58 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
 
     it = start_iter
     last_loss = float("nan")
-    sig = ckptlib.SignalCheckpointer()
-    sig.__enter__()
-    for images_u8, labels in batches:
-        if it >= max_iter:
-            break
-        if sig.save_if_requested(save_path + ".preempt", state,
-                         extra={"iterators": dict(loader.iterators)}):
-            if verbose:
-                print(f"preemption checkpoint written at iter {it}")
-            break
-        t0 = time.perf_counter()
-        step_fn = (frozen_step if (frozen_step is not None
-                                   and it < finetune_start) else train_step)
-        state, metrics = step_fn(state, put(jnp.asarray(images_u8)),
-                                 put(jnp.asarray(labels)))
-        last_loss = float(metrics["loss"])   # device sync = step boundary
-        step_ms = (time.perf_counter() - t0) * 1000.0
-        it += 1
+    # Exception-safe teardown: restore signal handlers and close TB
+    # even when the loop raises.
+    try:
+        with ckptlib.SignalCheckpointer() as sig:
+            for images_u8, labels in batches:
+                if it >= max_iter:
+                    break
+                if sig.save_if_requested(
+                        save_path + ".preempt", state,
+                        extra={"iterators": dict(loader.iterators)}):
+                    if verbose:
+                        print(f"preemption checkpoint written at iter {it}")
+                    break
+                t0 = time.perf_counter()
+                step_fn = (frozen_step
+                           if (frozen_step is not None
+                               and it < finetune_start) else train_step)
+                state, metrics = step_fn(state, put(jnp.asarray(images_u8)),
+                                         put(jnp.asarray(labels)))
+                last_loss = float(metrics["loss"])   # sync = step boundary
+                step_ms = (time.perf_counter() - t0) * 1000.0
+                it += 1
 
-        if it % pad == 0:
-            loss_hist.append(it, last_loss, step_ms)
-            loss_hist.flush()
-            tb.scalar("train/loss", last_loss, it)
-            tb.scalar("train/step_ms", step_ms, it)
-            if verbose:
-                print(f"iter {it}/{max_iter} loss {last_loss:.4f} "
-                      f"({step_ms:.1f} ms)")
+                if it % pad == 0:
+                    loss_hist.append(it, last_loss, step_ms)
+                    loss_hist.flush()
+                    tb.scalar("train/loss", last_loss, it)
+                    tb.scalar("train/step_ms", step_ms, it)
+                    if verbose:
+                        print(f"iter {it}/{max_iter} loss {last_loss:.4f} "
+                              f"({step_ms:.1f} ms)")
 
-        if it % eval_every == 0 or it == max_iter:
-            results = eval_split(
-                model, eval_vars(state), loader, split=1,
-                batch_size=cfg.eval_val_batch_size,
-                preprocess=preprocess,
-                eval_loss_fn=lambda v, x, g: eval_loss(state, x, g))
-            is_best = res_hist.append(it, results)
-            res_hist.flush()
-            tb.scalars(results.get("ap_results", {}), it, prefix="val/")
-            tb.flush()
-            if verbose:
-                print(f"eval@{it}: {results['ap_results']} best={is_best}")
-            if is_best:
-                ckptlib.save_checkpoint(
-                    save_path, state,
-                    extra={"iterators": dict(loader.iterators)})
-
-    sig.__exit__()
-    tb.close()
+                if it % eval_every == 0 or it == max_iter:
+                    results = eval_split(
+                        model, eval_vars(state), loader, split=1,
+                        batch_size=cfg.eval_val_batch_size,
+                        preprocess=preprocess,
+                        eval_loss_fn=lambda v, x, g: eval_loss(state, x, g))
+                    is_best = res_hist.append(it, results)
+                    res_hist.flush()
+                    tb.scalars(results.get("ap_results", {}), it,
+                               prefix="val/")
+                    tb.flush()
+                    if verbose:
+                        print(f"eval@{it}: {results['ap_results']} "
+                              f"best={is_best}")
+                    if is_best:
+                        ckptlib.save_checkpoint(
+                            save_path, state,
+                            extra={"iterators": dict(loader.iterators)})
+    finally:
+        tb.close()
     # Final test-split eval; beam sweep 1-5 like the reference drivers.
     final = {}
     if loader.split_ix[2]:

