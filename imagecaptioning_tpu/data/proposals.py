@@ -93,8 +93,10 @@ class ImageProcessor:
         self.target = target
         self.max_size = max_size
 
-    def preprocess_img(self, img_path: str
-                       ) -> Tuple[np.ndarray, np.ndarray]:
+    def preprocess_img(self, img_path: str, return_scale: bool = False):
+        """(normalized image (1,H,W,3), boxes (1,R,4) in RESIZED coords);
+        with `return_scale` also a dict {sx, sy, raw_hw, resized_hw} so
+        callers can map boxes back onto the source image's pixel frame."""
         from PIL import Image
         raw = np.asarray(Image.open(img_path).convert("RGB"))
         boxes = self.proposer(raw)
@@ -104,4 +106,9 @@ class ImageProcessor:
         sx = img.shape[1] / raw.shape[1]
         boxes = boxes * np.asarray([sx, sy, sx, sy], np.float32)
         x = (img.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        if return_scale:
+            return x[None], boxes[None], {
+                "sx": sx, "sy": sy,
+                "raw_hw": (int(raw.shape[0]), int(raw.shape[1])),
+                "resized_hw": (int(img.shape[0]), int(img.shape[1]))}
         return x[None], boxes[None]

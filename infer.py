@@ -120,7 +120,8 @@ def caption_dense(args) -> dict:
         raise SystemExit(f"no images in {args.images}")
     out = {}
     for path in paths:
-        x, boxes = proc.preprocess_img(path)      # (1, H, W, 3), (1, R, 4)
+        # (1, H, W, 3), (1, R, 4) resized-frame boxes, + resize scale
+        x, boxes, scale = proc.preprocess_img(path, return_scale=True)
         h, w = x.shape[1:3]
         xp = np.zeros((1, canvas, canvas, 3), np.float32)
         xp[0, :h, :w] = x[0]
@@ -131,9 +132,21 @@ def caption_dense(args) -> dict:
         toks = decode({"params": params}, jnp.asarray(xp),
                       jnp.asarray(bp[None]))
         caps = vocab.decode_sequence(np.asarray(toks).reshape(rmax, -1))
-        out[os.path.basename(path)] = [
-            {"box_xcycwh": [float(v) for v in bp[i]], "caption": caps[i]}
-            for i in range(n_real)]
+        # Report boxes in the ORIGINAL image's pixel frame (the model
+        # consumed resized-frame boxes; consumers should not need to
+        # know about the shorter-edge-720 canvas). Keep the scale in
+        # the record so the resized frame stays recoverable.
+        inv = np.asarray([1.0 / scale["sx"], 1.0 / scale["sy"]] * 2,
+                         np.float32)
+        out[os.path.basename(path)] = {
+            "resize": {"sx": scale["sx"], "sy": scale["sy"],
+                       "raw_hw": list(scale["raw_hw"]),
+                       "resized_hw": list(scale["resized_hw"])},
+            "regions": [
+                {"box_xcycwh": [float(v) for v in bp[i] * inv],
+                 "caption": caps[i]}
+                for i in range(n_real)],
+        }
     return out
 
 

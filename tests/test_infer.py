@@ -115,6 +115,15 @@ def test_infer_dense_regions(trained_dense):
         "--set", "vgg_stages=2", "input_encoding_size=32",
         "rnn_size=32", "use_lstm=true"])
     assert len(res) == 2
-    for regions in res.values():
+    for rec in res.values():
+        regions = rec["regions"]
         assert regions and all("caption" in r and len(r["box_xcycwh"]) == 4
                                for r in regions)
+        # boxes are reported in the ORIGINAL image's pixel frame (the
+        # source images are 120x160; the resized canvas is ~700x933) and
+        # the record carries the resize scale (ADVICE r1)
+        assert rec["resize"]["raw_hw"] == [120, 160]
+        assert rec["resize"]["sx"] > 1.0
+        for r in regions:
+            xc, yc, w, h = r["box_xcycwh"]
+            assert 0 <= xc <= 160 and 0 <= yc <= 120
