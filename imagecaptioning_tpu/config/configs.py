@@ -86,6 +86,10 @@ class CaptionConfig:
     log_every: int = 0            # 0 → reference's pad = save_ckpt_every // bs**2
     debug_nans: bool = False
     tensorboard_dir: str = ""     # '' = off; optional TB event stream
+    # Gradient accumulation: k micro-batches averaged into one optimizer
+    # update (optax.MultiSteps) — k steps at batch b ≡ one step at k*b.
+    # Schedules/finetune boundaries count APPLIED updates, not micro-steps.
+    grad_accum_steps: int = 1
     # Pretrained encoder weights merged into init params (the reference
     # loads torchvision weights at construction, LSTMModel.py:18-27).
     # 'path.npz' or 'module=path.npz,...'; see utils/pretrained.py.

@@ -111,6 +111,7 @@ class DenseConfig:
     tensorboard_dir: str = ""    # '' = off; optional TB event stream
     vgg_stages: int = 5          # VGG trunk depth (5 = full; tests shrink)
     use_pallas_roi: bool = False  # explicit Pallas ROI kernel (GT path, TPU)
+    grad_accum_steps: int = 1    # micro-batches per optimizer update
     # Pretrained VGG weights merged into init params (the reference
     # builds from vgg16 IMAGENET1K_V1, net_utils.py:8-13). Syntax:
     # 'features=vgg_feat.npz,classifier=vgg_cls.npz' (GT) or

@@ -100,9 +100,15 @@ def make_dense_optimizer(cfg: DenseConfig,
     else:
         enc_tx = optax.set_to_zero()
         frozen_tx = optax.set_to_zero()
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         {"encoder": enc_tx, "head": head_tx, "frozen": frozen_tx},
         lambda params: _vgg_label_fn(params, cfg.finetune_cnn))
+    if getattr(cfg, "grad_accum_steps", 1) > 1:
+        # k micro-batches averaged into one update (see optim.py).
+        tx = optax.MultiSteps(
+            tx, every_k_schedule=cfg.grad_accum_steps
+        ).gradient_transformation()
+    return tx
 
 
 def build_gt_model(cfg: DenseConfig, vocab_size: int,

@@ -51,6 +51,33 @@ def encoder_label_fn(params) -> dict:
     return jax.tree_util.tree_map_with_path(label, params)
 
 
+def gate_until(inner: optax.GradientTransformation,
+               boundary: int) -> optax.GradientTransformation:
+    """Make `inner` a complete no-op — zero updates, state untouched,
+    no moment/bias-correction advance — for the first `boundary` update
+    calls. This is torch's `requires_grad_(False)` phase, where the
+    optimizer never *sees* the frozen params (train_LSTM.py:48-54): at
+    the unfreeze (train_LSTM.py:101-105) Adam's moments and step count
+    start from scratch. An lr=0 mask is NOT equivalent: it would keep
+    advancing the bias-correction count and accumulating weight-decay
+    into the moments during the frozen phase."""
+
+    def init(params):
+        return (jnp.zeros([], jnp.int32), inner.init(params))
+
+    def update(updates, state, params=None):
+        count, inner_state = state
+        on = count >= boundary
+        new_u, new_s = inner.update(updates, inner_state, params)
+        out_u = jax.tree.map(
+            lambda n: jnp.where(on, n, jnp.zeros_like(n)), new_u)
+        out_s = jax.tree.map(lambda n, o: jnp.where(on, n, o),
+                             new_s, inner_state)
+        return out_u, (count + 1, out_s)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg, total_steps: int,
                    finetune_start_step: int = 0) -> optax.GradientTransformation:
     """Build the full update chain for a CaptionConfig."""
@@ -63,16 +90,21 @@ def make_optimizer(cfg, total_steps: int,
 
     is_adamw = cfg.model_type in ("transformer", "vitb")
 
-    def adam(lr_schedule, wd):
+    def adam_parts(wd):
+        """Moments + decay, WITHOUT the lr scaling (so the frozen-phase
+        gate can wrap them while the lr schedule keeps global time)."""
+        moments = optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2,
+                                      eps=cfg.eps)
         if is_adamw:
-            return optax.adamw(lr_schedule, b1=cfg.beta1, b2=cfg.beta2,
-                               eps=cfg.eps, weight_decay=wd)
+            # torch AdamW: p -= lr*(m_hat/(sqrt(v_hat)+eps) + wd*p)
+            return optax.chain(moments, optax.add_decayed_weights(wd))
         # torch `Adam(..., weight_decay=wd)` = additive L2 on the grad
         # BEFORE the Adam moments (train_LSTM.py:59), not AdamW.
-        return optax.chain(
-            optax.add_decayed_weights(wd),
-            optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps),
-            optax.scale_by_learning_rate(lr_schedule))
+        return optax.chain(optax.add_decayed_weights(wd), moments)
+
+    def adam(lr_schedule, wd):
+        return optax.chain(adam_parts(wd),
+                           optax.scale_by_learning_rate(lr_schedule))
 
     head_tx = adam(schedule, cfg.weight_decay)
 
@@ -84,11 +116,17 @@ def make_optimizer(cfg, total_steps: int,
         # an lr=0 AdamW (which would still decay the frozen weights).
         enc_tx = optax.set_to_zero()
     elif cfg.finetune_cnn and finetune_start_step > 0:
-        # encoder lr: 0 before the finetune step, then the main schedule.
-        def enc_schedule(step):
-            base = schedule(step) if callable(schedule) else schedule
-            return jnp.where(step >= finetune_start_step, base, 0.0)
-        enc_tx = adam(enc_schedule, cfg.weight_decay)
+        # Frozen-CNN phase: the encoder's moments/decay are fully gated
+        # (see gate_until), while the lr schedule stays on GLOBAL time —
+        # torch's scheduler ticks for all param groups, so at unfreeze
+        # the encoder trains at the CURRENT scheduled lr, with fresh
+        # Adam moments. (Gradients are already exactly zero here via the
+        # driver's stop-gradient frozen_model, so the global-norm clip
+        # sees head-only norms, like torch's clip over grad-None-skipped
+        # params.)
+        enc_tx = optax.chain(
+            gate_until(adam_parts(cfg.weight_decay), finetune_start_step),
+            optax.scale_by_learning_rate(schedule))
     elif cfg.finetune_cnn:
         enc_tx = adam(schedule, cfg.weight_decay)
     else:
@@ -98,4 +136,11 @@ def make_optimizer(cfg, total_steps: int,
                                encoder_label_fn)
     if cfg.clip_grad:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
+    if getattr(cfg, "grad_accum_steps", 1) > 1:
+        # Accumulate k micro-batch grads, average, then run the whole
+        # chain (clip sees the averaged grad — identical to one k×-sized
+        # batch). Schedules count applied updates, not micro-steps.
+        tx = optax.MultiSteps(
+            tx, every_k_schedule=cfg.grad_accum_steps
+        ).gradient_transformation()
     return tx
