@@ -90,6 +90,11 @@ class CaptionConfig:
     # update (optax.MultiSteps) — k steps at batch b ≡ one step at k*b.
     # Schedules/finetune boundaries count APPLIED updates, not micro-steps.
     grad_accum_steps: int = 1
+    # CNN trunk depth override for the lstm/attention/transformer
+    # families: () = the family default (ResNet-101's (3,4,23,3) /
+    # full VGG16). Smaller tuples shrink the trunk for CPU evidence
+    # runs and tests (same precedent as DenseConfig.vgg_stages).
+    backbone_stages: tuple = ()
     # Pretrained encoder weights merged into init params (the reference
     # loads torchvision weights at construction, LSTMModel.py:18-27).
     # 'path.npz' or 'module=path.npz,...'; see utils/pretrained.py.

@@ -87,6 +87,110 @@ def make_face2text_arrays(num_images: int = 32,
     return arrays, info
 
 
+_HAIR = {"black": (25, 22, 20), "brown": (120, 72, 40),
+         "blond": (222, 188, 120), "red": (168, 48, 32)}
+_TONE = {"light": (232, 200, 178), "dark": (124, 84, 60)}
+_SHIRT = {"red": (200, 30, 30), "green": (30, 160, 50),
+          "blue": (30, 60, 200), "white": (238, 238, 238)}
+
+
+def make_learnable_face2text_arrays(num_images: int = 256,
+                                    seq_length: int = 12,
+                                    image_hw: Tuple[int, int] = (218, 178),
+                                    seed: int = 0,
+                                    noise: float = 8.0
+                                    ) -> Tuple[Dict, Dict]:
+    """Face2Text-schema dataset whose captions are DERIVED from rendered
+    image content (hair/skin/shirt color bands, glasses strip, mouth
+    shape), so a captioner can genuinely GENERALIZE to held-out images —
+    unlike `make_face2text_arrays`, whose random-word captions only
+    support memorization. This is the strongest offline stand-in for
+    the reference's committed real-data experiments (AlexCap/logs/,
+    SURVEY §6): val/test METEOR measures real visual grounding, not
+    train-set recall."""
+    from imagecaptioning_tpu.data.tokenizer import Vocab
+
+    rng = np.random.RandomState(seed)
+    h, w = image_hw
+    hairs = list(_HAIR)
+    tones = list(_TONE)
+    shirts = list(_SHIRT)
+
+    images = np.zeros((num_images, h, w, 3), np.float32)
+    caps = []
+    factors = []
+    for i in range(num_images):
+        hair = hairs[rng.randint(len(hairs))]
+        tone = tones[rng.randint(len(tones))]
+        shirt = shirts[rng.randint(len(shirts))]
+        glasses = bool(rng.randint(2))
+        smiling = bool(rng.randint(2))
+        factors.append((hair, tone, shirt, glasses, smiling))
+
+        img = images[i]
+        img[: int(0.28 * h)] = _HAIR[hair]
+        img[int(0.28 * h): int(0.72 * h)] = _TONE[tone]
+        if glasses:
+            img[int(0.38 * h): int(0.45 * h),
+                int(0.15 * w): int(0.85 * w)] = (40, 40, 40)
+        if smiling:
+            img[int(0.58 * h): int(0.66 * h),
+                int(0.30 * w): int(0.70 * w)] = (200, 60, 60)
+        else:
+            img[int(0.61 * h): int(0.63 * h),
+                int(0.35 * w): int(0.65 * w)] = (60, 30, 30)
+        img[int(0.72 * h):] = _SHIRT[shirt]
+
+        caps.append(f"a {tone} skinned face with {hair} hair wearing a "
+                    f"{shirt} shirt")
+        caps.append(f"a {'smiling' if smiling else 'serious'} person "
+                    f"{'with' if glasses else 'without'} glasses and "
+                    f"{hair} hair")
+
+    images += rng.normal(0.0, noise, images.shape)
+    images = np.clip(images, 0, 255).astype(np.uint8)
+
+    vocab = Vocab.from_captions(caps, min_token_instances=1)
+    labels = np.stack([vocab.encode_caption(c, seq_length) for c in caps])
+    lengths = (labels != 0).sum(axis=1).astype(np.int32)
+
+    split = np.zeros(num_images, np.int32)
+    n_val = max(1, num_images * 15 // 100)
+    n_test = max(1, num_images * 15 // 100)
+    split[num_images - n_val - n_test:num_images - n_test] = 1
+    split[num_images - n_test:] = 2
+
+    # factor codes in the reference's ±1 attribute slots
+    attributes = -np.ones((num_images, 40), np.int32)
+    for i, (hair, tone, shirt, glasses, smiling) in enumerate(factors):
+        attributes[i, 0] = 1 if glasses else -1
+        attributes[i, 1] = 1 if smiling else -1
+        attributes[i, 2 + hairs.index(hair)] = 1
+        attributes[i, 6 + tones.index(tone)] = 1
+        attributes[i, 8 + shirts.index(shirt)] = 1
+
+    first = np.arange(num_images, dtype=np.int32) * 2
+    arrays = {
+        "images": images,
+        "labels": labels.astype(np.int32),
+        "lengths": lengths,
+        "split": split,
+        "attributes": attributes,
+        "img_to_first_phr": first,
+        "img_to_last_phr": first + 1,
+    }
+    info = {
+        "token_to_idx": vocab.token_to_idx,
+        "idx_to_token": vocab.idx_to_token,
+        "idx_to_filename": {str(i): f"learnable_{i:06d}.jpg"
+                            for i in range(num_images)},
+        "filename_to_idx": {f"learnable_{i:06d}.jpg": i
+                            for i in range(num_images)},
+        "attributes_labels": [f"attr_{i}" for i in range(40)],
+    }
+    return arrays, info
+
+
 def write_face2text_h5(h5_path: str, json_path: str, **kw) -> None:
     import h5py
     arrays, info = make_face2text_arrays(**kw)

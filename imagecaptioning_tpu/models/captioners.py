@@ -312,25 +312,28 @@ def build_model(cfg, vocab_size: int, seq_length: int,
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     drop = cfg.drop_value if cfg.use_dropout else 0.0
     fe = bool(freeze_encoder)
+    # cfg.backbone_stages=() keeps the family default trunk depth
+    stages = ({"backbone_stages": tuple(cfg.backbone_stages)}
+              if getattr(cfg, "backbone_stages", ()) else {})
     if cfg.model_type == "lstm":
         return LSTMCaptioner(
             vocab_size=vocab_size, embedding_size=cfg.embedding_size,
             rnn_size=cfg.lstm_size, num_layers=cfg.num_layers,
             dropout=drop, use_vggface=cfg.use_vggface, compute_dtype=dtype,
-            freeze_encoder=fe)
+            freeze_encoder=fe, **stages)
     if cfg.model_type == "lstm_attention":
         return AttentionCaptioner(
             vocab_size=vocab_size, embedding_size=cfg.embedding_size,
             rnn_size=cfg.lstm_size, dropout=drop,
             use_vggface=cfg.use_vggface, compute_dtype=dtype,
-            freeze_encoder=fe)
+            freeze_encoder=fe, **stages)
     if cfg.model_type == "transformer":
         return TransformerCaptioner(
             vocab_size=vocab_size, max_length=seq_length,
             embed_size=cfg.transformer_size, num_layers=cfg.num_layers,
             heads=cfg.num_heads, dropout=drop,
             use_vggface=cfg.use_vggface, compute_dtype=dtype,
-            freeze_encoder=fe)
+            freeze_encoder=fe, **stages)
     if cfg.model_type == "vitb":
         if freeze_encoder is None:
             fe = bool(cfg.trained_encoder)

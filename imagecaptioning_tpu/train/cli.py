@@ -5,6 +5,8 @@ argparse (`train_LSTM.py` etc.); we keep their defaults but add
 `--key=value` overrides for every config field plus:
   --smoke        tiny run (few iters, synthetic data) for CI/dev
   --synthetic    force the synthetic dataset even if the h5 exists
+  --synthetic-learnable   synthetic images whose captions DESCRIBE the
+                 rendered content (val METEOR measures generalization)
 """
 
 from __future__ import annotations
@@ -24,6 +26,10 @@ def main(model_type: str, argv=None) -> dict:
                         help="tiny synthetic smoke run")
     parser.add_argument("--synthetic", action="store_true",
                         help="use the synthetic dataset")
+    parser.add_argument("--synthetic-learnable", action="store_true",
+                        help="synthetic dataset with content-derived "
+                             "captions (generalization is learnable)")
+    parser.add_argument("--synthetic-images", type=int, default=None)
     parser.add_argument("--max-iter", type=int, default=None)
     parser.add_argument("--eval-every", type=int, default=None)
     parser.add_argument("--set", nargs="*", default=[],
@@ -32,7 +38,7 @@ def main(model_type: str, argv=None) -> dict:
 
     cfg = get_config(model_type)
     overrides = dict(kv.split("=", 1) for kv in args.set)
-    if args.synthetic or args.smoke:
+    if args.synthetic or args.smoke or args.synthetic_learnable:
         overrides.setdefault("data_h5", "/nonexistent")
         overrides.setdefault("from_checkpoint", "false")
     if args.smoke:
@@ -46,7 +52,9 @@ def main(model_type: str, argv=None) -> dict:
     eval_every = args.eval_every or (4 if args.smoke else None)
     summary = train(cfg, max_iter_override=max_iter,
                     eval_every_override=eval_every,
-                    synthetic_images=32 if args.smoke else 64)
+                    synthetic_images=(args.synthetic_images
+                                      or (32 if args.smoke else 64)),
+                    synthetic_learnable=args.synthetic_learnable)
     printable = {k: v for k, v in summary.items()
                  if k not in ("state", "model", "loader")}
     print(json.dumps(printable, default=str))

@@ -40,14 +40,16 @@ from imagecaptioning_tpu.utils.tb import TBWriter
 
 
 def make_loader(cfg: CaptionConfig, synthetic_fallback: bool = True,
-                synthetic_images: int = 64) -> AlexDataLoader:
+                synthetic_images: int = 64,
+                synthetic_learnable: bool = False) -> AlexDataLoader:
     if os.path.exists(cfg.data_h5) and os.path.exists(cfg.data_json):
         return AlexDataLoader(data_h5=cfg.data_h5, data_json=cfg.data_json,
                               seed=cfg.seed)
     if not synthetic_fallback:
         raise FileNotFoundError(cfg.data_h5)
-    arrays, info = synthetic.make_face2text_arrays(
-        num_images=synthetic_images, seed=cfg.seed)
+    make = (synthetic.make_learnable_face2text_arrays
+            if synthetic_learnable else synthetic.make_face2text_arrays)
+    arrays, info = make(num_images=synthetic_images, seed=cfg.seed)
     return AlexDataLoader(arrays=arrays, info=info, seed=cfg.seed)
 
 
@@ -70,6 +72,7 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
           eval_every_override: Optional[int] = None,
           synthetic_fallback: bool = True,
           synthetic_images: int = 64,
+          synthetic_learnable: bool = False,
           verbose: bool = True) -> Dict:
     """Run training per config; returns summary dict with histories."""
     if cfg.debug_nans:
@@ -77,7 +80,8 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
         enable_nan_debugging()
     loss_file, result_file, save_path = name_model(cfg)
 
-    loader = make_loader(cfg, synthetic_fallback, synthetic_images)
+    loader = make_loader(cfg, synthetic_fallback, synthetic_images,
+                         synthetic_learnable)
     vocab_size = loader.getVocabSize()
     seq_length = loader.getSeqLength()
     bs = cfg.batch_size

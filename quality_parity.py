@@ -286,8 +286,20 @@ def run_jax(data, batches, lr, wd, boundary, seq_length, init_sd,
 
 # ------------------------------------------------------------------ main
 
+def _force_cpu():
+    """CPU is the parity platform (torch is CPU; fp32 determinism); the
+    axon TPU-tunnel sitecustomize force-sets jax_platforms at
+    interpreter start, so undo it before backend init."""
+    import jax
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
+
+
 def run(steps: int = 160, bs: int = 8, lr: float = 4e-4,
         num_images: int = 32, seq_length: int = 10, hw: int = 64):
+    _force_cpu()
     boundary = steps // 2
     wd = 1e-6                      # train_LSTM.py:59
     data = build_dataset(num_images, seq_length, hw)

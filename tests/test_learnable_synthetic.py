@@ -1,0 +1,56 @@
+"""The learnable synthetic dataset (captions derived from rendered
+image content) and the backbone_stages config knob that make the
+committed evidence run (evidence_run.py) possible."""
+
+import numpy as np
+
+from imagecaptioning_tpu.data.synthetic import (
+    make_learnable_face2text_arrays)
+
+
+def test_learnable_dataset_schema_and_determinism():
+    a1, info1 = make_learnable_face2text_arrays(num_images=24, seed=3)
+    a2, _ = make_learnable_face2text_arrays(num_images=24, seed=3)
+    for k in a1:
+        np.testing.assert_array_equal(a1[k], a2[k], err_msg=k)
+    # Face2Text schema (my_model_preprocess.py:282-330)
+    assert a1["images"].shape == (24, 218, 178, 3)
+    assert a1["images"].dtype == np.uint8
+    assert a1["labels"].shape[0] == 48           # 2 captions/image
+    assert set(np.unique(a1["split"])) == {0, 1, 2}
+    assert a1["attributes"].shape == (24, 40)
+    assert (a1["img_to_last_phr"] - a1["img_to_first_phr"] == 1).all()
+    assert len(info1["token_to_idx"]) == len(info1["idx_to_token"])
+
+
+def test_learnable_captions_describe_the_image():
+    """The caption's color words must match the rendered bands — the
+    property that makes held-out METEOR measure grounding."""
+    from imagecaptioning_tpu.data.synthetic import _HAIR, _SHIRT
+    from imagecaptioning_tpu.data.tokenizer import Vocab
+
+    arrays, info = make_learnable_face2text_arrays(num_images=12, seed=0,
+                                                   noise=0.0)
+    vocab = Vocab(info["token_to_idx"], info["idx_to_token"])
+    for i in range(12):
+        cap = vocab.decode_row(
+            arrays["labels"][arrays["img_to_first_phr"][i]])
+        img = arrays["images"][i]
+        hair_px = tuple(img[5, 5])              # hair band
+        shirt_px = tuple(img[-5, 5])            # shirt band
+        hair_word = [w for w, c in _HAIR.items() if c == hair_px]
+        shirt_word = [w for w, c in _SHIRT.items() if c == shirt_px]
+        assert hair_word and hair_word[0] in cap.split(), (cap, hair_px)
+        assert shirt_word and shirt_word[0] in cap.split(), (cap, shirt_px)
+
+
+def test_build_model_honors_backbone_stages():
+    from imagecaptioning_tpu.config import get_lstm_config
+    from imagecaptioning_tpu.models.captioners import build_model
+
+    cfg = get_lstm_config().replace(backbone_stages=(1, 1, 1, 1))
+    model = build_model(cfg, vocab_size=16, seq_length=5)
+    assert model.backbone_stages == (1, 1, 1, 1)
+    # () keeps the family default (ResNet-101)
+    model = build_model(get_lstm_config(), 16, 5)
+    assert model.backbone_stages == (3, 4, 23, 3)
