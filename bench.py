@@ -94,20 +94,28 @@ def setup_jax():
     return jax
 
 
-def emit(payload: dict, args) -> None:
-    """Print THE one JSON line; append the raw evidence artifact."""
+def emit(payload: dict, args, device_meta: bool = True) -> None:
+    """Print THE one JSON line; append the raw evidence artifact.
+    `device_meta=False` for host-only metrics: querying jax.devices()
+    would INITIALIZE the backend (possibly a cold TPU relay) just to
+    stamp metadata on a benchmark that needs no accelerator."""
     print(json.dumps(payload), flush=True)
     try:
-        import jax
         rec = dict(payload)
+        if device_meta:
+            import jax
+            rec.update({
+                "platform": jax.devices()[0].platform,
+                "device_kind": jax.devices()[0].device_kind,
+                "n_devices": len(jax.devices()),
+                "jax": jax.__version__,
+            })
+        else:
+            rec.update({"platform": "host"})
         rec.update({
             "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            "platform": jax.devices()[0].platform,
-            "device_kind": jax.devices()[0].device_kind,
-            "n_devices": len(jax.devices()),
             "argv": sys.argv[1:],
             "elapsed_s": round(time.time() - T0, 1),
-            "jax": jax.__version__,
         })
         out = os.path.join(REPO, "runs", "bench")
         os.makedirs(out, exist_ok=True)
@@ -407,7 +415,7 @@ def bench_input(args):
         "value": round(n / dt, 2),
         "unit": "images/sec",
         "vs_baseline": None,
-    }, args)
+    }, args, device_meta=False)
 
 
 # Per-family definitions: model factory, default batch, metric name, and

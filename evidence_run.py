@@ -31,21 +31,11 @@ import json
 import os
 
 
-def _force_cpu():
-    """This is a CPU evidence run by design (fp32 parity dtype, orbax
-    checkpoints, host-side eval); the axon TPU-tunnel sitecustomize
-    force-sets jax_platforms at interpreter start, so undo it before
-    backend init — big host readbacks through the relay are
-    pathologically slow."""
-    import jax
-    try:
-        jax.config.update("jax_platforms", "cpu")
-    except RuntimeError:
-        pass
-
-
 def main(argv=None):
-    _force_cpu()
+    # CPU by design: fp32 parity dtype, orbax checkpoints and host-side
+    # eval would crawl through the TPU relay's device→host path.
+    from imagecaptioning_tpu.utils.refload import force_cpu
+    force_cpu()
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="lstm",
                     choices=["lstm", "lstm_attention", "transformer"])
@@ -61,7 +51,13 @@ def main(argv=None):
     from imagecaptioning_tpu.utils.visualize import display_logs
 
     os.makedirs(args.out, exist_ok=True)
-    n_train = args.images - 2 * max(1, args.images * 15 // 100)
+    # train-split size read off the actual dataset (seed 123 = config
+    # default; train() rebuilds the identical arrays)
+    from imagecaptioning_tpu.data.synthetic import (
+        make_learnable_face2text_arrays)
+    arrays, _ = make_learnable_face2text_arrays(num_images=args.images,
+                                                seed=123)
+    n_train = int((arrays["split"] == 0).sum())
     tag = f"{args.model}_learnable_bs{args.batch_size}"
     cfg = get_config(args.model).replace(
         data_h5="/nonexistent",               # force synthetic

@@ -82,7 +82,11 @@ def _vgg_label_fn(params, finetune: bool):
 def make_dense_optimizer(cfg: DenseConfig,
                          finetune_start_step: int) -> optax.GradientTransformation:
     """torch `Adam(params, lr, weight_decay=wd)` = additive L2 on the
-    gradient *before* the Adam moments, not AdamW (`traingt.py:62`)."""
+    gradient *before* the Adam moments, not AdamW (`traingt.py:62`).
+    `finetune_start_step` is in APPLIED-update units: under gradient
+    accumulation the inner schedules tick once per optax.MultiSteps
+    emission, so callers divide their micro-iteration boundary by
+    grad_accum_steps."""
     def adam(lr_schedule):
         return optax.chain(
             optax.add_decayed_weights(cfg.weight_decay),
@@ -214,7 +218,10 @@ def train_gt(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
     pad = cfg.loss_log_pad
     eval_every = eval_every_override or cfg.save_checkpoint_every
     finetune_start = len(loader.train_ix)      # traingt.py:87-88
-    tx = make_dense_optimizer(cfg, finetune_start)
+    # the optimizer's step counter ticks once per APPLIED update; under
+    # gradient accumulation the loop's micro-iterations run k× faster
+    accum = max(getattr(cfg, "grad_accum_steps", 1), 1)
+    tx = make_dense_optimizer(cfg, -(-finetune_start // accum))
 
     b0 = next(loader.padded_batches(0, cfg.batch_size,
                                     max_regions=cfg.max_regions))
@@ -408,7 +415,9 @@ def train_rpn(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
 
     max_iter = max_iter_override or cfg.max_iters
     eval_every = eval_every_override or cfg.save_checkpoint_every
-    tx = make_dense_optimizer(cfg, len(loader.train_ix))
+    # applied-update units under gradient accumulation (see train_gt)
+    accum = max(getattr(cfg, "grad_accum_steps", 1), 1)
+    tx = make_dense_optimizer(cfg, -(-len(loader.train_ix) // accum))
 
     b0 = next(loader.padded_batches(0, cfg.batch_size,
                                     max_regions=cfg.max_regions))

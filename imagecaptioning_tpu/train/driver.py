@@ -91,6 +91,14 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
     eval_every = eval_every_override or iters_per_epoch
     pad = max(cfg.save_checkpoint_every // (bs * bs), 1)
     finetune_start = cfg.finetuning_after_nepoch * iters_per_epoch
+    # Under gradient accumulation the loop counter ticks per MICRO-step
+    # while everything inside the optimizer (schedules, gate_until)
+    # ticks once per APPLIED update (optax.MultiSteps). Round the
+    # finetune boundary UP to an accumulation-window edge so the
+    # frozen-model switch (micro units) and the optimizer gate (applied
+    # units) agree, and pass applied-unit horizons to the optimizer.
+    accum = max(getattr(cfg, "grad_accum_steps", 1), 1)
+    finetune_start = -(-finetune_start // accum) * accum
 
     model = build_model(cfg, vocab_size, seq_length)
     # Frozen-CNN phase as the reference runs it (requires_grad_(False),
@@ -100,7 +108,8 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
     frozen_model = (build_model(cfg, vocab_size, seq_length,
                                 freeze_encoder=True)
                     if cfg.finetune_cnn and finetune_start > 0 else None)
-    tx = optim.make_optimizer(cfg, max_iter, finetune_start)
+    tx = optim.make_optimizer(cfg, -(-max_iter // accum),
+                              finetune_start // accum)
 
     sample_imgs, sample_gt = next(loader.epoch_batches(0, bs))
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32

@@ -84,12 +84,18 @@ def resume_path(save_path: str) -> Optional[str]:
     (`<save_path>.preempt`) when it is newer than the best-model
     checkpoint, else the best-model checkpoint, else None."""
     best = save_path if os.path.isdir(save_path) else None
-    if best is None and os.path.isdir(save_path + ".tmp-save"):
-        # crash mid-swap: the tmp dir exists only once orbax committed
-        # it, so it is always the NEWEST complete checkpoint — it beats
-        # '.old' (the pre-swap state), which also survives a crash in
-        # the window between rename(path, old) and rename(tmp, path)
-        best = save_path + ".tmp-save"
+    tmp = save_path + ".tmp-save"
+    if os.path.isdir(tmp) and (
+            best is None or os.path.getmtime(tmp) >= os.path.getmtime(best)):
+        # The tmp dir exists only once orbax committed it (orbax writes
+        # to its own staging dir and renames on finalize), so a
+        # surviving tmp is a COMPLETE checkpoint. It coexists with the
+        # main dir only in the crash window between orbax commit and
+        # the rename swap — where it is strictly newer than the main
+        # dir — and beats '.old' (the pre-swap state) for the same
+        # reason. The mtime guard keeps the main dir preferred if a
+        # stale tmp ever survives by other means.
+        best = tmp
     if best is None and os.path.isdir(save_path + ".old"):
         best = save_path + ".old"   # crash mid-swap: old state survives
     pre = (save_path + ".preempt"

@@ -78,6 +78,51 @@ def convert_lstm_cell(sd: Mapping, prefix: str) -> Dict:
             "b_hh": _np(sd[f"{prefix}.bias_hh"])}
 
 
+def build_torch_vgg_trunk():
+    """torchvision vgg16.features[:-1]-shaped trunk (all convs, no
+    final pool), randomly initialized — the torch-side parity twin of
+    `backbones.vgg.VGGFeatures(include_final_pool=False)`; its
+    state_dict feeds `convert_vgg_features`."""
+    import torch.nn as tnn
+
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+           512, 512, 512, "M", 512, 512, 512]
+    layers, in_ch = [], 3
+    for v in cfg:
+        if v == "M":
+            layers.append(tnn.MaxPool2d(2, 2))
+        else:
+            layers += [tnn.Conv2d(in_ch, v, 3, padding=1), tnn.ReLU()]
+            in_ch = v
+
+    class TorchVGGTrunk(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = tnn.Sequential(*layers)
+
+        def forward(self, x):
+            return self.features(x)
+
+    return TorchVGGTrunk()
+
+
+def convert_reference_lstm_head(sd: Mapping, prefix: str = "",
+                                num_layers: int = 1) -> Dict:
+    """AlexCap LanguageModule state_dict (or any same-keyed tensor dict,
+    e.g. per-parameter gradients) → our LanguageHead param tree. The
+    converters are linear transpose/reshape maps, so the same map ports
+    weights, gradients, and post-step states alike."""
+    if prefix:
+        sd = {k[len(prefix):]: v for k, v in sd.items()
+              if k.startswith(prefix)}
+    return {
+        "image_encoder": convert_linear(sd, "image_encoder.encode"),
+        "lookup_table": convert_embedding(sd, "lookup_table"),
+        "lstm": convert_lstm(sd, "lstm", num_layers=num_layers),
+        "linear": convert_linear(sd, "rnn.linear"),
+    }
+
+
 # ---------------------------------------------------------------- ResNet
 
 _RESNET_STAGES = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}

@@ -29,46 +29,13 @@ Run: python quality_parity.py [--steps 160] [--out runs/parity]
 from __future__ import annotations
 
 import argparse
-import importlib.util
 import json
 import os
-import sys
-import types
 
 import numpy as np
 
-REF_ROOT = "/root/reference"
-
-
-# ---------------------------------------------------------------- loading
-
-class _EasyDict(dict):
-    def __getattr__(self, k):
-        try:
-            return self[k]
-        except KeyError as e:
-            raise AttributeError(k) from e
-
-    def __setattr__(self, k, v):
-        self[k] = v
-
-
-def _load_reference_module(relpath: str, name: str):
-    """Import one reference file. Shims easydict (not installed) and
-    puts the reference root on sys.path so `from AlexCap.my_utils ...`
-    resolves as a namespace package."""
-    if "easydict" not in sys.modules:
-        ed = types.ModuleType("easydict")
-        ed.EasyDict = _EasyDict
-        sys.modules["easydict"] = ed
-    if REF_ROOT not in sys.path:
-        sys.path.insert(0, REF_ROOT)
-    spec = importlib.util.spec_from_file_location(
-        name, os.path.join(REF_ROOT, relpath))
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules[name] = mod
-    spec.loader.exec_module(mod)
-    return mod
+from imagecaptioning_tpu.utils.refload import (force_cpu,
+                                               load_reference_module)
 
 
 # ------------------------------------------------------------------- data
@@ -112,33 +79,17 @@ def run_torch(data, batches, lr, wd, boundary, seq_length):
     import torch
     import torch.nn as tnn
 
-    ref_lang = _load_reference_module("AlexCap/LanguageModule.py",
-                                      "qp_ref_language")
-    ref_loss = _load_reference_module("AlexCap/CustomLoss.py",
-                                      "qp_ref_loss")
+    from imagecaptioning_tpu.utils.torch_port import build_torch_vgg_trunk
+
+    ref_lang = load_reference_module("AlexCap/LanguageModule.py",
+                                     "qp_ref_language")
+    ref_loss = load_reference_module("AlexCap/CustomLoss.py",
+                                     "qp_ref_loss")
 
     torch.manual_seed(0)
-
-    class TorchVGGTrunk(tnn.Module):
-        """torchvision vgg16.features[:-1] shape (all convs, no final
-        pool) — the use_vggface encoder of LSTMModel.py:18-23."""
-
-        def __init__(self):
-            super().__init__()
-            cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
-                   512, 512, 512, "M", 512, 512, 512]
-            layers, in_ch = [], 3
-            for v in cfg:
-                if v == "M":
-                    layers.append(tnn.MaxPool2d(2, 2))
-                else:
-                    layers += [tnn.Conv2d(in_ch, v, 3, padding=1),
-                               tnn.ReLU()]
-                    in_ch = v
-            self.features = tnn.Sequential(*layers)
-
     vocab = data["vocab"]
-    trunk = TorchVGGTrunk()
+    # the use_vggface encoder shape of LSTMModel.py:18-23
+    trunk = build_torch_vgg_trunk()
     llm = ref_lang.LanguageModel(
         vocab_size=vocab.vocab_size, embedding_size=64,
         image_vector_dim=512,
@@ -192,8 +143,8 @@ def run_torch(data, batches, lr, wd, boundary, seq_length):
     preds = model.llm.decode_sequence(toks)
     refs = model.llm.decode_sequence(torch.from_numpy(data["labels"][ti]))
 
-    ref_eval = _load_reference_module("AlexCap/eval/eval_resnet.py",
-                                      "qp_ref_eval")
+    ref_eval = load_reference_module("AlexCap/eval/eval_resnet.py",
+                                     "qp_ref_eval")
     # offline NLTK degradations, identical to what our scorer falls
     # back to (captions are whitespace-joined; no wordnet corpus)
     from imagecaptioning_tpu.eval.scorer import meteor_pair
@@ -216,15 +167,9 @@ def port_params(sd):
     import jax.numpy as jnp
     from imagecaptioning_tpu.utils import torch_port as tp
 
-    s = {k[4:]: v for k, v in sd.items() if k.startswith("llm.")}
     params = {
         "features": tp.convert_vgg_features(sd)["params"],
-        "llm": {
-            "image_encoder": tp.convert_linear(s, "image_encoder.encode"),
-            "lookup_table": tp.convert_embedding(s, "lookup_table"),
-            "lstm": tp.convert_lstm(s, "lstm", num_layers=1),
-            "linear": tp.convert_linear(s, "rnn.linear"),
-        },
+        "llm": tp.convert_reference_lstm_head(sd, prefix="llm."),
     }
     return jax.tree.map(lambda v: jnp.array(np.asarray(v)), params)
 
@@ -286,20 +231,10 @@ def run_jax(data, batches, lr, wd, boundary, seq_length, init_sd,
 
 # ------------------------------------------------------------------ main
 
-def _force_cpu():
-    """CPU is the parity platform (torch is CPU; fp32 determinism); the
-    axon TPU-tunnel sitecustomize force-sets jax_platforms at
-    interpreter start, so undo it before backend init."""
-    import jax
-    try:
-        jax.config.update("jax_platforms", "cpu")
-    except RuntimeError:
-        pass
-
-
 def run(steps: int = 160, bs: int = 8, lr: float = 4e-4,
         num_images: int = 32, seq_length: int = 10, hw: int = 64):
-    _force_cpu()
+    # CPU is the parity platform (torch is CPU; fp32 determinism)
+    force_cpu()
     boundary = steps // 2
     wd = 1e-6                      # train_LSTM.py:59
     data = build_dataset(num_images, seq_length, hw)

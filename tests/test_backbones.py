@@ -84,24 +84,8 @@ def test_resnet_trunk_shapes():
     assert y.shape == (1, 2, 2, 2048)
 
 
-class TorchVGGTrunk(tnn.Module):
-    """torchvision vgg16.features[:-1] (all convs, no final pool)."""
-
-    def __init__(self):
-        super().__init__()
-        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
-               512, 512, 512, "M", 512, 512, 512]
-        layers, in_ch = [], 3
-        for v in cfg:
-            if v == "M":
-                layers.append(tnn.MaxPool2d(2, 2))
-            else:
-                layers += [tnn.Conv2d(in_ch, v, 3, padding=1), tnn.ReLU()]
-                in_ch = v
-        self.features = tnn.Sequential(*layers)
-
-    def forward(self, x):
-        return self.features(x)
+# torch-side vgg16.features[:-1] twin — shared builder in torch_port
+TorchVGGTrunk = torch_port.build_torch_vgg_trunk
 
 
 def test_vgg_features_match_torch():

@@ -82,6 +82,31 @@ def test_accum_train_steps_equal_large_batch():
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_accum_finetune_boundary_is_in_applied_units():
+    """Regression: everything inside the optimizer (gate_until, lr
+    schedules) ticks once per APPLIED update under MultiSteps, so the
+    drivers divide their micro-step finetune boundary by k before
+    passing it in. With k=2 and boundary=1 (applied units): applied
+    update #0 must leave the encoder gated, applied update #1 must
+    train it."""
+    cfg = get_lstm_config().replace(grad_accum_steps=2, finetune_cnn=True)
+    params = {"features": {"w": jnp.ones((2, 2))},
+              "llm": {"w": jnp.ones((2, 2))}}
+    tx = optim.make_optimizer(cfg, total_steps=10, finetune_start_step=1)
+    st = tx.init(params)
+    g = jax.tree.map(jnp.ones_like, params)
+    for micro in range(4):
+        u, st = tx.update(g, st, params)
+        enc = np.asarray(u["features"]["w"])
+        head = np.asarray(u["llm"]["w"])
+        if micro in (0, 2):          # mid-accumulation: nothing applied
+            assert (enc == 0).all() and (head == 0).all(), micro
+        elif micro == 1:             # applied update #0: encoder gated
+            assert (enc == 0).all() and (np.abs(head) > 0).any(), micro
+        else:                        # applied update #1: encoder live
+            assert (np.abs(enc) > 0).any(), micro
+
+
 def test_accum_state_checkpoints(tmp_path):
     """MultiSteps opt_state (counter + grad accumulator) survives a
     checkpoint round trip."""

@@ -75,14 +75,7 @@ class TestLSTMHeadGradientParity:
                                              "ref_custom_loss")
         crit = loss_mod.CustomCrossEntropyLoss()
 
-        def port(sd):
-            return {
-                "image_encoder": tp.convert_linear(sd,
-                                                   "image_encoder.encode"),
-                "lookup_table": tp.convert_embedding(sd, "lookup_table"),
-                "lstm": tp.convert_lstm(sd, "lstm", num_layers=1),
-                "linear": tp.convert_linear(sd, "rnn.linear"),
-            }
+        port = tp.convert_reference_lstm_head
 
         head = LanguageHead(vocab_size=self.V, embedding_size=self.W,
                             rnn_size=self.H, num_layers=1, dropout=0.0)
@@ -305,8 +298,7 @@ class TestFrozenEncoderBoundaryParity:
         ref_mod = rd._load_reference_module("AlexCap/LanguageModule.py",
                                             "ref_language_module_frozen")
 
-        import test_backbones as tb
-        trunk = tb.TorchVGGTrunk()
+        trunk = tp.build_torch_vgg_trunk()
         llm = ref_mod.LanguageModel(
             vocab_size=self.V, embedding_size=self.W,
             image_vector_dim=512, rnn_size=self.H,
@@ -330,21 +322,10 @@ class TestFrozenEncoderBoundaryParity:
         ref = TorchCaptioner().eval()
         ref.features.requires_grad_(False)      # frozen-CNN phase
 
-        def port_llm(sd, prefix="llm."):
-            s = {k[len(prefix):]: v for k, v in sd.items()
-                 if k.startswith(prefix)}
-            return {
-                "image_encoder": tp.convert_linear(s,
-                                                   "image_encoder.encode"),
-                "lookup_table": tp.convert_embedding(s, "lookup_table"),
-                "lstm": tp.convert_lstm(s, "lstm", num_layers=1),
-                "linear": tp.convert_linear(s, "rnn.linear"),
-            }
-
         sd = ref.state_dict()
         params = {
             "features": tp.convert_vgg_features(sd)["params"],
-            "llm": port_llm(sd),
+            "llm": tp.convert_reference_lstm_head(sd, prefix="llm."),
         }
         # copy: jnp.asarray can alias torch buffers (see above)
         params = jax.tree.map(lambda v: jnp.array(np.asarray(v)),
@@ -412,16 +393,7 @@ class TestFrozenEncoderBoundaryParity:
             np.testing.assert_array_equal(np.asarray(g), 0.0, err_msg=k)
         # head grads match torch's (pre-clip)
         raw = _grad_sd(ref)
-        want_llm = {
-            "image_encoder": tp.convert_linear(
-                {k[4:]: v for k, v in raw.items()}, "image_encoder.encode"),
-            "lookup_table": tp.convert_embedding(
-                {k[4:]: v for k, v in raw.items()}, "lookup_table"),
-            "lstm": tp.convert_lstm(
-                {k[4:]: v for k, v in raw.items()}, "lstm", num_layers=1),
-            "linear": tp.convert_linear(
-                {k[4:]: v for k, v in raw.items()}, "rnn.linear"),
-        }
+        want_llm = tp.convert_reference_lstm_head(raw, prefix="llm.")
         _assert_tree_close(grads["llm"], want_llm, rtol=2e-4, atol=2e-5,
                            ctx="head_grads")
 
@@ -434,20 +406,8 @@ class TestFrozenEncoderBoundaryParity:
         for k, v in flatten_tree(updates["features"]).items():
             np.testing.assert_array_equal(np.asarray(v), 0.0, err_msg=k)
         # head deltas match torch's
-        llm_after = {k: v for k, v in ref.state_dict().items()
-                     if k.startswith("llm.")}
-        want_after = {
-            "image_encoder": tp.convert_linear(
-                {k[4:]: v for k, v in llm_after.items()},
-                "image_encoder.encode"),
-            "lookup_table": tp.convert_embedding(
-                {k[4:]: v for k, v in llm_after.items()}, "lookup_table"),
-            "lstm": tp.convert_lstm(
-                {k[4:]: v for k, v in llm_after.items()}, "lstm",
-                num_layers=1),
-            "linear": tp.convert_linear(
-                {k[4:]: v for k, v in llm_after.items()}, "rnn.linear"),
-        }
+        want_after = tp.convert_reference_lstm_head(ref.state_dict(),
+                                                    prefix="llm.")
         got = flatten_tree(new_params["llm"])
         want = flatten_tree(want_after)
         for k in want:

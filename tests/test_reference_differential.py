@@ -8,7 +8,6 @@ compared after decoding through each side's own dicts; everything else
 must match exactly. Skipped when the reference checkout is absent.
 """
 
-import importlib.util
 import json
 import os
 import sys
@@ -24,18 +23,8 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF_ROOT), reason="reference checkout not present")
 
 
-class _EasyDict(dict):
-    """Stand-in for the uninstalled `easydict` package (attribute-style
-    dict, all the reference's configs need)."""
-
-    def __getattr__(self, k):
-        try:
-            return self[k]
-        except KeyError as e:
-            raise AttributeError(k) from e
-
-    def __setattr__(self, k, v):
-        self[k] = v
+from imagecaptioning_tpu.utils.refload import (  # noqa: E402
+    EasyDict as _EasyDict, load_reference_module)
 
 
 def _ensure_torchvision_ops():
@@ -65,24 +54,9 @@ def _ensure_torchvision_ops():
     return tv
 
 
-def _load_reference_module(relpath, name):
-    # several reference files import torchvision/easydict at module scope
-    # without using them on these code paths; neither is installed here
-    if "easydict" not in sys.modules:
-        ed = types.ModuleType("easydict")
-        ed.EasyDict = _EasyDict
-        sys.modules["easydict"] = ed
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tv.models = types.ModuleType("torchvision.models")
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.models"] = tv.models
-    spec = importlib.util.spec_from_file_location(
-        name, os.path.join(REF_ROOT, relpath))
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules[name] = mod
-    spec.loader.exec_module(mod)
-    return mod
+# shared shim-and-import helper (utils/refload.py); the historic local
+# name is kept because other test modules reach it via this module
+_load_reference_module = load_reference_module
 
 
 def _write_jpg(path, h, w, seed):

@@ -97,6 +97,24 @@ def test_restore_with_extra_but_no_template(tmp_path):
     assert int(extra["iterators"]["0"]) == 5
 
 
+def test_resume_path_prefers_newer_tmp_save_over_main(tmp_path):
+    """Crash window between orbax commit and rename(path, old): BOTH the
+    main dir (one save stale) and '.tmp-save' (newest, committed)
+    survive — the newer tmp must win, not the stale main dir."""
+    import time as _time
+    state = _tiny_state()
+    best = str(tmp_path / "best.ckpt")
+    ckptlib.save_checkpoint(best, state)                    # stale best
+    _time.sleep(0.05)
+    newer = TrainState(jnp.array(7, jnp.int32), state.params,
+                       state.opt_state, {}, state.rng)
+    ckptlib.save_checkpoint(best + ".tmp-save", newer)      # committed tmp
+    assert ckptlib.resume_path(best) == best + ".tmp-save"
+    restored, _ = ckptlib.restore_checkpoint(ckptlib.resume_path(best),
+                                             _tiny_state())
+    assert int(restored.step) == 7
+
+
 def test_resume_path_prefers_tmp_save_over_old(tmp_path):
     """Crash window between rename(path, old) and rename(tmp, path):
     both '.old' and '.tmp-save' exist, no main dir. '.tmp-save' is the
