@@ -39,6 +39,7 @@ V, W, D, H, T, P, BS = 2500, 1024, 2048, 768, 16, 49, 12
 
 def main():
     import torch
+    torch.set_num_threads(os.cpu_count() or 1)   # best-case host math
 
     ref_mod = load_reference_module("AlexCap/LanguageModule.py",
                                     "refdec_language")
@@ -60,12 +61,34 @@ def main():
 
     with torch.no_grad():
         greedy_batches = timeit(lambda: llm.predict_caption(feats))
-        beam_imgs = timeit(
-            lambda: llm.caption(feats[:1], 3), min_s=5.0)
+        # caption() feeds raw features into the LSTM without
+        # image_encoder (LanguageModule.py:160 vs :132) — a latent
+        # reference bug: it crashes whenever image_vector_dim !=
+        # embedding_size, i.e. for every committed config (ResNet 2048
+        # / VGGFace 512 vs W=1024). The reference never hits it
+        # (train_LSTM.py's final eval is greedy-only). Pre-encode so
+        # the measured number is the beam loop itself.
+        enc = llm.image_encoder(feats[:1])
+
+        def beam_once():
+            try:
+                llm.caption(enc, 3)
+            except ValueError:
+                # untrained weights never argmax END, so no beam
+                # completes within T+1 steps and the final max() over
+                # completed beams raises — all T+1 steps of beam work
+                # ran; only the winner selection is skipped
+                pass
+
+        beam_imgs = timeit(beam_once, min_s=5.0)
 
     out = {
         "greedy_captions_per_sec": round(greedy_batches * BS, 2),
+        # full-length decode (T+1 steps, no beam shrink — untrained
+        # weights); per-step cost is constant, so a trained model
+        # finishing at length L does ~L/(T+1) of this work
         "beam3_captions_per_sec": round(beam_imgs, 2),
+        "beam3_ms_per_step": round(1000.0 / (beam_imgs * (T + 1)), 3),
         "config": {"vocab": V, "embedding": W, "feat_dim": D, "rnn": H,
                    "seq_length": T, "positions": P, "batch": BS},
         "platform": "cpu-torch",
@@ -75,7 +98,10 @@ def main():
                     "reference hardware (RTX 2080 Ti) unavailable; the "
                     "beam loop is per-image serial Python either way",
                     "beam throughput is per-image: caption() handles "
-                    "one image (LanguageModule.py:152-198)"],
+                    "one image (LanguageModule.py:152-198)",
+                    "caption() was fed pre-encoded features: as "
+                    "committed it skips image_encoder and crashes for "
+                    "every real config (latent bug, see PARITY.md)"],
         "source": "/root/reference/AlexCap/LanguageModule.py:130-198",
     }
     os.makedirs("runs/bench", exist_ok=True)
