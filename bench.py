@@ -441,14 +441,14 @@ def _family_table():
             make=lambda v, t, d: AttentionCaptioner(
                 vocab_size=v, embedding_size=1024, rnn_size=768,
                 dropout=0.5, compute_dtype=d, freeze_encoder=True),
-            cfg=get_lstm_attention_config, batch=64,
+            cfg=get_lstm_attention_config, batch=128, decode_batch=64,
             metric="attention_lstm_resnet101_train_images_per_sec",
             baseline=None),
         "transformer": dict(
             make=lambda v, t, d: TransformerCaptioner(
                 vocab_size=v, max_length=t, embed_size=512, num_layers=6,
                 heads=8, dropout=0.1, compute_dtype=d, freeze_encoder=True),
-            cfg=get_transformer_config, batch=64,
+            cfg=get_transformer_config, batch=128, decode_batch=64,
             metric="transformer_resnet101_train_images_per_sec",
             baseline=None),
         "vitb": dict(
