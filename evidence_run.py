@@ -31,6 +31,81 @@ import json
 import os
 
 
+def run_gt(args):
+    """Dense-captioning evidence: traingt's loop (dense_driver.train_gt,
+    best-by-mAP selection) on the learnable VG-style dataset — held-out
+    mAP/METEOR through the full DenseCap GT protocol
+    (`/root/reference/AlexGTModel/eval/eval_gt.py:113-168`)."""
+    import json as _json
+
+    from imagecaptioning_tpu.config.dense_configs import get_gt_config
+    from imagecaptioning_tpu.eval import dense_eval
+    from imagecaptioning_tpu.train import dense_driver
+    from imagecaptioning_tpu.utils import checkpoint as ckptlib
+
+    tag = f"gt_learnable_bs{args.batch_size}"
+    cfg = get_gt_config().replace(
+        data_h5="/nonexistent", from_checkpoint=False,
+        batch_size=args.batch_size, max_regions=4, eval_batch_size=4,
+        use_lstm=True,                # the reference's best GT family
+        learning_rate=args.lr, compute_dtype="float32",
+        vgg_stages=3,                 # CPU-sized trunk (config precedent)
+        loss_log_pad=5,
+        loss_file=os.path.join(args.out, f"loss_history_{tag}.json"),
+        result_file=os.path.join(args.out,
+                                 f"results_history_{tag}.json"),
+        save_path=os.path.join(args.out, f"best_model_{tag}.ckpt"),
+    )
+    # ~11 iters/epoch at 64 images, bs 4; eval every ~4 epochs
+    max_iter = args.epochs * max((args.images * 70 // 100)
+                                 // args.batch_size, 1)
+    summary = dense_driver.train_gt(
+        cfg, synthetic_learnable=True, synthetic_images=args.images,
+        synthetic_image_size=128, max_iter_override=max_iter,
+        eval_every_override=max(max_iter // 10, 1))
+
+    # final TEST-split eval from the best (by val mAP) checkpoint.
+    # NB train_gt derives the REAL artifact paths via name_gt_model's
+    # reference-mangling; read them back off the summary.
+    model, loader = summary["model"], summary["loader"]
+    state = summary["state"]
+    best = ckptlib.resume_path(summary["save_path"])
+    if best:
+        state, _ = ckptlib.restore_checkpoint(best, state)
+    final = dense_eval.eval_split_gt(
+        model, {"params": state.params}, loader, split=2,
+        batch_size=cfg.eval_batch_size, max_regions=cfg.max_regions)
+    printable = {k: v for k, v in summary.items()
+                 if k not in ("state", "model", "loader")}
+    printable["final_test"] = final
+    with open(os.path.join(args.out, f"summary_{tag}.json"), "w") as f:
+        _json.dump(printable, f, indent=1, default=str)
+
+    png = None
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        hist = _json.load(open(summary["result_file"]))
+        its = [o["iter"] for o in hist]
+        fig, ax = plt.subplots(2, 1, sharex="col", figsize=(7, 5))
+        ax[0].plot(its, [o["ap_results"]["map"] for o in hist], "go-")
+        ax[0].set_ylabel("val mAP")
+        ax[0].set_title("GT dense captioning on the learnable VG set")
+        ax[1].plot(its, [o["ap_results"].get("meteor", 0.0)
+                         for o in hist], "bo-")
+        ax[1].set_ylabel("val METEOR")
+        ax[1].set_xlabel("iter")
+        fig.tight_layout()
+        png = os.path.join(args.out, f"{tag}.png")
+        fig.savefig(png, dpi=120)
+    except Exception as e:
+        print(f"curve PNG skipped: {e}")
+    print(json.dumps({"best_val_map": summary.get("best_val_score"),
+                      "final_test": final.get("ap_results"),
+                      "curves": png}, default=str))
+
+
 def main(argv=None):
     # CPU by design: fp32 parity dtype, orbax checkpoints and host-side
     # eval would crawl through the TPU relay's device→host path.
@@ -38,13 +113,22 @@ def main(argv=None):
     force_cpu()
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="lstm",
-                    choices=["lstm", "lstm_attention", "transformer"])
+                    choices=["lstm", "lstm_attention", "transformer",
+                             "gt"])
     ap.add_argument("--images", type=int, default=256)
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--batch-size", type=int, default=12)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", default="runs/evidence")
     args = ap.parse_args(argv)
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.model == "gt":
+        if args.batch_size == 12:      # family-appropriate defaults
+            args.batch_size = 4
+        if args.images == 256:
+            args.images = 64
+        return run_gt(args)
 
     from imagecaptioning_tpu.config import get_config
     from imagecaptioning_tpu.train.driver import train

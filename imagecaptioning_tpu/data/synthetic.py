@@ -258,6 +258,90 @@ def make_vg_arrays(num_images: int = 8,
     return arrays, info
 
 
+_BOX_COLORS = {"red": (200, 30, 30), "green": (30, 160, 50),
+               "blue": (30, 60, 200), "yellow": (220, 200, 40),
+               "purple": (140, 40, 170)}
+
+
+def make_learnable_vg_arrays(num_images: int = 64,
+                             seq_length: int = 8,
+                             image_size: int = 256,
+                             seed: int = 0,
+                             noise: float = 6.0) -> Tuple[Dict, Dict]:
+    """VG-schema dataset whose region captions DESCRIBE the rendered
+    region (a colored rectangle: color, big/small, top/bottom half) —
+    the dense-captioning counterpart of `make_learnable_face2text_arrays`:
+    held-out mAP/METEOR measure real grounding, not recall. Four
+    regions per image, one per quadrant (no occlusion, so every caption
+    is visually recoverable)."""
+    from imagecaptioning_tpu.data.tokenizer import Vocab
+
+    rng = np.random.RandomState(seed)
+    s = image_size
+    regions_per_image = 4
+    m = num_images * regions_per_image
+    colors = list(_BOX_COLORS)
+    big_thresh = (s // 4) ** 2          # quadrant boxes: 'big' ≥ half-cell²
+
+    images = np.full((num_images, s, s, 3), 110.0, np.float32)
+    boxes = np.zeros((m, 4), np.float32)
+    caps = []
+    k = 0
+    for i in range(num_images):
+        for qy in range(2):
+            for qx in range(2):
+                cell = s // 2
+                w = int(rng.randint(cell // 4, cell - 8))
+                h = int(rng.randint(cell // 4, cell - 8))
+                x0 = qx * cell + int(rng.randint(2, cell - w - 2))
+                y0 = qy * cell + int(rng.randint(2, cell - h - 2))
+                color = colors[rng.randint(len(colors))]
+                images[i, y0:y0 + h, x0:x0 + w] = _BOX_COLORS[color]
+                # (xc, yc, w, h), 1-indexed like preprocess.py:146-183
+                boxes[k] = (x0 + (w - 1) / 2 + 1, y0 + (h - 1) / 2 + 1,
+                            w, h)
+                size = "big" if w * h >= big_thresh else "small"
+                half = "top" if qy == 0 else "bottom"
+                caps.append(f"a {size} {color} box in the {half} half")
+                k += 1
+    images += rng.normal(0.0, noise, images.shape)
+    images = np.clip(images, 0, 255).astype(np.uint8)
+
+    vocab = Vocab.from_captions(caps, min_token_instances=1)
+    labels = np.stack([vocab.encode_caption(c, seq_length) for c in caps])
+    lengths = (labels != 0).sum(axis=1).astype(np.int32)
+
+    split = np.zeros(num_images, np.int32)
+    n_val = max(1, num_images * 15 // 100)
+    n_test = max(1, num_images * 15 // 100)
+    split[num_images - n_val - n_test:num_images - n_test] = 1
+    split[num_images - n_test:] = 2
+
+    first = (np.arange(num_images, dtype=np.int32) * regions_per_image) + 1
+    arrays = {
+        "images": images,
+        "image_heights": np.full(num_images, s, np.int32),
+        "image_widths": np.full(num_images, s, np.int32),
+        "labels": labels.astype(np.int32),
+        "lengths": lengths,
+        "boxes": boxes,
+        "img_to_first_box": first,
+        "img_to_last_box": first + regions_per_image - 1,
+        "box_to_img": np.repeat(np.arange(1, num_images + 1, dtype=np.int32),
+                                regions_per_image),
+        "split": split,
+        "original_heights": np.full(num_images, s, np.int32),
+        "original_widths": np.full(num_images, s, np.int32),
+    }
+    info = {
+        "token_to_idx": vocab.token_to_idx,
+        "idx_to_token": vocab.idx_to_token,
+        "filename_to_idx": {f"vg_{i}.jpg": i + 1
+                            for i in range(num_images)},
+    }
+    return arrays, info
+
+
 def write_vg_h5(h5_path: str, json_path: str, **kw) -> None:
     import h5py
     arrays, info = make_vg_arrays(**kw)

@@ -45,17 +45,24 @@ from imagecaptioning_tpu.utils.tb import TBWriter
 def make_vg_loader(cfg: DenseConfig, synthetic_fallback: bool = True,
                    synthetic_images: int = 8,
                    image_size: int = 64,
-                   synthetic_seq_length: int = 8) -> VGDataLoader:
+                   synthetic_seq_length: int = 8,
+                   synthetic_learnable: bool = False) -> VGDataLoader:
     if os.path.exists(cfg.data_h5) and os.path.exists(cfg.data_json):
         return VGDataLoader(data_h5=cfg.data_h5, data_json=cfg.data_json,
                             seed=cfg.seed,
                             debug_max_train_images=cfg.debug_max_train_images)
     if not synthetic_fallback:
         raise FileNotFoundError(cfg.data_h5)
-    arrays, info = synthetic.make_vg_arrays(num_images=synthetic_images,
-                                            image_size=image_size,
-                                            seq_length=synthetic_seq_length,
-                                            seed=cfg.seed)
+    if synthetic_learnable:
+        # region captions describe the rendered content — held-out
+        # mAP/METEOR measure grounding (evidence_run.py --model gt)
+        arrays, info = synthetic.make_learnable_vg_arrays(
+            num_images=synthetic_images, image_size=image_size,
+            seq_length=synthetic_seq_length, seed=cfg.seed)
+    else:
+        arrays, info = synthetic.make_vg_arrays(
+            num_images=synthetic_images, image_size=image_size,
+            seq_length=synthetic_seq_length, seed=cfg.seed)
     return VGDataLoader(arrays=arrays, info=info, seed=cfg.seed)
 
 
@@ -203,6 +210,7 @@ def train_gt(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
              eval_every_override: Optional[int] = None,
              synthetic_fallback: bool = True, synthetic_images: int = 8,
              synthetic_image_size: int = 64,
+             synthetic_learnable: bool = False,
              verbose: bool = True) -> Dict:
     """The traingt.py loop. Returns a summary with histories + state."""
     if cfg.debug_nans:
@@ -210,7 +218,8 @@ def train_gt(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
         enable_nan_debugging()
     loss_file, result_file, save_path = name_gt_model(cfg)
     loader = make_vg_loader(cfg, synthetic_fallback, synthetic_images,
-                            synthetic_image_size)
+                            synthetic_image_size,
+                            synthetic_learnable=synthetic_learnable)
     model = build_gt_model(cfg, loader.getVocabSize(), loader.getSeqLength())
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 

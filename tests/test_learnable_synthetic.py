@@ -44,6 +44,32 @@ def test_learnable_captions_describe_the_image():
         assert shirt_word and shirt_word[0] in cap.split(), (cap, shirt_px)
 
 
+def test_learnable_vg_schema_and_grounding():
+    """VG-schema variant: region captions must describe the rendered
+    rectangle (color + top/bottom half) at the box's position."""
+    from imagecaptioning_tpu.data.synthetic import (_BOX_COLORS,
+                                                    make_learnable_vg_arrays)
+    from imagecaptioning_tpu.data.tokenizer import Vocab
+
+    arrays, info = make_learnable_vg_arrays(num_images=6, image_size=128,
+                                            seed=1, noise=0.0)
+    assert arrays["images"].shape == (6, 128, 128, 3)
+    assert arrays["boxes"].shape == (24, 4)           # 4 regions/image
+    assert (arrays["img_to_first_box"][1:]
+            == arrays["img_to_last_box"][:-1] + 1).all()   # 1-indexed slabs
+    vocab = Vocab(info["token_to_idx"], info["idx_to_token"])
+    for i in range(6):
+        for r in range(4):
+            k = arrays["img_to_first_box"][i] - 1 + r
+            cap = vocab.decode_row(arrays["labels"][k]).split()
+            xc, yc, w, h = arrays["boxes"][k]
+            # pixel at the box center carries the caption's color
+            px = tuple(arrays["images"][i, int(yc - 1), int(xc - 1)])
+            color = [c for c, v in _BOX_COLORS.items() if v == px]
+            assert color and color[0] in cap, (cap, px)
+            assert ("top" if yc <= 64 else "bottom") in cap, (cap, yc)
+
+
 def test_build_model_honors_backbone_stages():
     from imagecaptioning_tpu.config import get_lstm_config
     from imagecaptioning_tpu.models.captioners import build_model
