@@ -31,6 +31,34 @@ import json
 import os
 
 
+def _attention_vis(summary, out_dir, tag):
+    """Decode one test image with alphas and render the per-word
+    attention grid (generate_vis.py:59-85 parity)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from imagecaptioning_tpu.data import transforms
+    from imagecaptioning_tpu.models import api
+    from imagecaptioning_tpu.utils.visualize import generate_caption_vis
+
+    model, loader, state = (summary["model"], summary["loader"],
+                            summary["state"])
+    img_u8, gt = next(loader.epoch_batches(2, 1))
+    x = transforms.resnet_v2_preprocess(jnp.asarray(img_u8))
+    greedy = api.make_greedy_fn(model, loader.getSeqLength() + 1)
+    variables = {"params": state.params}
+    if state.batch_stats:               # ResNet BN running stats
+        variables["batch_stats"] = state.batch_stats
+    toks, alphas = greedy(variables, x)
+    caption = loader.vocab.decode_sequence(np.asarray(toks))[0]
+    gt_caption = loader.vocab.decode_sequence(np.asarray(gt))[0]
+    n_words = len(caption.split())
+    a = (np.asarray(alphas)[0, :n_words] if alphas is not None else None)
+    return generate_caption_vis(np.asarray(img_u8[0]), caption, a,
+                                out_dir=out_dir, name=f"vis_{tag}",
+                                gt_caption=gt_caption)
+
+
 def run_gt(args):
     """Dense-captioning evidence: traingt's loop (dense_driver.train_gt,
     best-by-mAP selection) on the learnable VG-style dataset — held-out
@@ -174,6 +202,16 @@ def main(argv=None):
     with open(cfg.result_file) as f:
         results_history = json.load(f)
     png = display_logs(results_history, tag, out_dir=args.out)
+
+    vis = None
+    if args.model == "lstm_attention":
+        # per-word attention overlays from a held-out image — the
+        # reference's generate_vis.py artifact (committed to
+        # AlexCap/data/vis_results/)
+        try:
+            vis = _attention_vis(summary, args.out, tag)
+        except Exception as e:                     # viz is best-effort
+            print(f"attention vis skipped: {e}")
 
     printable = {k: v for k, v in summary.items()
                  if k not in ("state", "model", "loader")}
