@@ -134,6 +134,52 @@ def run_gt(args):
                       "curves": png}, default=str))
 
 
+def run_rpn(args):
+    """Full-RPN evidence: the repaired DenseCap/train.py loop
+    (dense_driver.train_rpn, 5-loss objective, best-by-mAP) on the
+    learnable VG set — detection AND captioning learned from scratch,
+    scored by the full DenseCap mAP protocol (eval_utils.py:98-169)."""
+    from imagecaptioning_tpu.config.dense_configs import \
+        get_densecap_config
+    from imagecaptioning_tpu.train import dense_driver
+    from imagecaptioning_tpu.utils import checkpoint as ckptlib
+
+    tag = f"rpn_learnable_bs{args.batch_size}"
+    cfg = get_densecap_config().replace(
+        data_h5="/nonexistent", from_checkpoint=False,
+        batch_size=args.batch_size, max_regions=4,
+        learning_rate=args.lr, compute_dtype="float32",
+        vgg_stages=3, losses_log_every=5,
+        loss_file=os.path.join(args.out, f"loss_history_{tag}.json"),
+        result_file=os.path.join(args.out,
+                                 f"results_history_{tag}.json"),
+        save_path=os.path.join(args.out, f"best_model_{tag}.ckpt"),
+    )
+    max_iter = args.epochs * max((args.images * 70 // 100)
+                                 // args.batch_size, 1)
+    summary = dense_driver.train_rpn(
+        cfg, synthetic_learnable=True, synthetic_images=args.images,
+        synthetic_image_size=256, max_iter_override=max_iter,
+        eval_every_override=max(max_iter // 8, 1))
+
+    model, loader = summary["model"], summary["loader"]
+    state = summary["state"]
+    best = ckptlib.resume_path(cfg.save_path)
+    if best:
+        state, _ = ckptlib.restore_checkpoint(best, state)
+    final = dense_driver.eval_split_rpn(
+        model, {"params": state.params}, loader, split=2,
+        max_regions=cfg.max_regions)
+    printable = {k: v for k, v in summary.items()
+                 if k not in ("state", "model", "loader")}
+    printable["final_test"] = final
+    with open(os.path.join(args.out, f"summary_{tag}.json"), "w") as f:
+        json.dump(printable, f, indent=1, default=str)
+    print(json.dumps({"best_val_map": summary.get("best_val_score"),
+                      "final_test": final.get("ap_results")},
+                     default=str))
+
+
 def main(argv=None):
     # CPU by design: fp32 parity dtype, orbax checkpoints and host-side
     # eval would crawl through the TPU relay's device→host path.
@@ -142,7 +188,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="lstm",
                     choices=["lstm", "lstm_attention", "transformer",
-                             "gt"])
+                             "gt", "rpn"])
     ap.add_argument("--images", type=int, default=256)
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--batch-size", type=int, default=12)
@@ -151,12 +197,12 @@ def main(argv=None):
     args = ap.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
 
-    if args.model == "gt":
+    if args.model in ("gt", "rpn"):
         if args.batch_size == 12:      # family-appropriate defaults
-            args.batch_size = 4
+            args.batch_size = 4 if args.model == "gt" else 2
         if args.images == 256:
             args.images = 64
-        return run_gt(args)
+        return run_gt(args) if args.model == "gt" else run_rpn(args)
 
     from imagecaptioning_tpu.config import get_config
     from imagecaptioning_tpu.train.driver import train

@@ -414,10 +414,12 @@ def train_rpn(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
               eval_every_override: Optional[int] = None,
               synthetic_fallback: bool = True, synthetic_images: int = 8,
               synthetic_image_size: int = 64,
+              synthetic_learnable: bool = False,
               verbose: bool = True) -> Dict:
     """The repaired DenseCap/train.py loop over DenseCapRPN."""
     loader = make_vg_loader(cfg, synthetic_fallback, synthetic_images,
-                            synthetic_image_size)
+                            synthetic_image_size,
+                            synthetic_learnable=synthetic_learnable)
     model = build_rpn_model(cfg, loader.getVocabSize(),
                             loader.getSeqLength())
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
