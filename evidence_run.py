@@ -149,6 +149,10 @@ def run_rpn(args):
         data_h5="/nonexistent", from_checkpoint=False,
         batch_size=args.batch_size, max_regions=4,
         learning_rate=args.lr, compute_dtype="float32",
+        # the 5-loss objective diverges NaN around iter ~500 at hot
+        # evidence-run lrs without clipping (the reference trains at
+        # 1e-5/1e-6 and never clips); enable the stability knob
+        grad_clip_norm=5.0,
         vgg_stages=3, losses_log_every=5,
         loss_file=os.path.join(args.out, f"loss_history_{tag}.json"),
         result_file=os.path.join(args.out,

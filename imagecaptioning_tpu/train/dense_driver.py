@@ -114,6 +114,11 @@ def make_dense_optimizer(cfg: DenseConfig,
     tx = optax.multi_transform(
         {"encoder": enc_tx, "head": head_tx, "frozen": frozen_tx},
         lambda params: _vgg_label_fn(params, cfg.finetune_cnn))
+    if getattr(cfg, "grad_clip_norm", 0.0) > 0:
+        # stability ADDITION (off by default): the reference's dense
+        # drivers never clip, see the config field's note
+        tx = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
     if getattr(cfg, "grad_accum_steps", 1) > 1:
         # k micro-batches averaged into one update (see optim.py).
         tx = optax.MultiSteps(
