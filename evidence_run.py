@@ -245,6 +245,15 @@ def main(argv=None):
                                  f"results_history_{tag}.json"),
         save_path=os.path.join(args.out, f"best_model_{tag}.ckpt"),
     )
+    if args.model == "transformer":
+        # CPU-sized dims (same architecture). The full 512-d/6-layer
+        # config inherits the reference's embed_size**0.5 attention
+        # scaling (TransformerModule.py:53, quirk-parity) which makes
+        # attention near-uniform at 512 — the reference itself needed
+        # ~400k steps on real data; at evidence scale it stalls at the
+        # unconditional caption floor, while these dims ground quickly.
+        cfg = cfg.replace(transformer_size=128, num_layers=2,
+                          num_heads=4)
 
     summary = train(cfg, synthetic_learnable=True,
                     synthetic_images=args.images)
