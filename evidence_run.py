@@ -64,8 +64,6 @@ def run_gt(args):
     best-by-mAP selection) on the learnable VG-style dataset — held-out
     mAP/METEOR through the full DenseCap GT protocol
     (`/root/reference/AlexGTModel/eval/eval_gt.py:113-168`)."""
-    import json as _json
-
     from imagecaptioning_tpu.config.dense_configs import get_gt_config
     from imagecaptioning_tpu.eval import dense_eval
     from imagecaptioning_tpu.train import dense_driver
@@ -74,7 +72,10 @@ def run_gt(args):
     tag = f"gt_learnable_bs{args.batch_size}"
     cfg = get_gt_config().replace(
         data_h5="/nonexistent", from_checkpoint=False,
-        batch_size=args.batch_size, max_regions=4, eval_batch_size=4,
+        # eval_batch_size must divide the 9-image val/test splits
+        # (padded_batches drops the ragged tail — bs 4 would silently
+        # score only 8 of 9 held-out images)
+        batch_size=args.batch_size, max_regions=4, eval_batch_size=3,
         use_lstm=True,                # the reference's best GT family
         learning_rate=args.lr, compute_dtype="float32",
         vgg_stages=3,                 # CPU-sized trunk (config precedent)
@@ -92,14 +93,15 @@ def run_gt(args):
         synthetic_image_size=128, max_iter_override=max_iter,
         eval_every_override=max(max_iter // 10, 1))
 
-    # final TEST-split eval from the best (by val mAP) checkpoint.
-    # NB train_gt derives the REAL artifact paths via name_gt_model's
-    # reference-mangling; read them back off the summary.
+    # final TEST-split eval from the best (by val mAP) checkpoint —
+    # restored DIRECTLY, not via resume_path (which would prefer a
+    # newer .preempt last-iterate over the best model after an
+    # interrupt). NB train_gt derives the REAL artifact paths via
+    # name_gt_model's reference-mangling; read them off the summary.
     model, loader = summary["model"], summary["loader"]
     state = summary["state"]
-    best = ckptlib.resume_path(summary["save_path"])
-    if best:
-        state, _ = ckptlib.restore_checkpoint(best, state)
+    if os.path.isdir(summary["save_path"]):
+        state, _ = ckptlib.restore_checkpoint(summary["save_path"], state)
     final = dense_eval.eval_split_gt(
         model, {"params": state.params}, loader, split=2,
         batch_size=cfg.eval_batch_size, max_regions=cfg.max_regions)
@@ -107,14 +109,14 @@ def run_gt(args):
                  if k not in ("state", "model", "loader")}
     printable["final_test"] = final
     with open(os.path.join(args.out, f"summary_{tag}.json"), "w") as f:
-        _json.dump(printable, f, indent=1, default=str)
+        json.dump(printable, f, indent=1, default=str)
 
     png = None
     try:
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
-        hist = _json.load(open(summary["result_file"]))
+        hist = json.load(open(summary["result_file"]))
         its = [o["iter"] for o in hist]
         fig, ax = plt.subplots(2, 1, sharex="col", figsize=(7, 5))
         ax[0].plot(its, [o["ap_results"]["map"] for o in hist], "go-")
@@ -168,9 +170,10 @@ def run_rpn(args):
 
     model, loader = summary["model"], summary["loader"]
     state = summary["state"]
-    best = ckptlib.resume_path(cfg.save_path)
-    if best:
-        state, _ = ckptlib.restore_checkpoint(best, state)
+    # best checkpoint directly (not resume_path: a .preempt last
+    # iterate must not shadow the best-by-mAP model)
+    if os.path.isdir(cfg.save_path):
+        state, _ = ckptlib.restore_checkpoint(cfg.save_path, state)
     final = dense_driver.eval_split_rpn(
         model, {"params": state.params}, loader, split=2,
         max_regions=cfg.max_regions)
@@ -193,26 +196,33 @@ def main(argv=None):
     ap.add_argument("--model", default="lstm",
                     choices=["lstm", "lstm_attention", "transformer",
                              "gt", "rpn"])
-    ap.add_argument("--images", type=int, default=256)
+    ap.add_argument("--images", type=int, default=None,
+                    help="default: 256 (caption families) / 64 (dense)")
     ap.add_argument("--epochs", type=int, default=30)
-    ap.add_argument("--batch-size", type=int, default=12)
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="default: 12 (caption) / 4 (gt) / 2 (rpn)")
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", default="runs/evidence")
     args = ap.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
 
+    # per-family defaults only when the flag was omitted (an explicit
+    # value is always honored)
     if args.model in ("gt", "rpn"):
-        if args.batch_size == 12:      # family-appropriate defaults
+        if args.batch_size is None:
             args.batch_size = 4 if args.model == "gt" else 2
-        if args.images == 256:
+        if args.images is None:
             args.images = 64
         return run_gt(args) if args.model == "gt" else run_rpn(args)
+    if args.batch_size is None:
+        args.batch_size = 12
+    if args.images is None:
+        args.images = 256
 
     from imagecaptioning_tpu.config import get_config
     from imagecaptioning_tpu.train.driver import train
     from imagecaptioning_tpu.utils.visualize import display_logs
 
-    os.makedirs(args.out, exist_ok=True)
     # train-split size read off the actual dataset (seed 123 = config
     # default; train() rebuilds the identical arrays)
     from imagecaptioning_tpu.data.synthetic import (

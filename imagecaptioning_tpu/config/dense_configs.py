@@ -112,10 +112,12 @@ class DenseConfig:
     vgg_stages: int = 5          # VGG trunk depth (5 = full; tests shrink)
     use_pallas_roi: bool = False  # explicit Pallas ROI kernel (GT path, TPU)
     grad_accum_steps: int = 1    # micro-batches per optimizer update
-    # Global-norm gradient clip; 0 = off (the reference's dense drivers
-    # never clip — traingt.py/DenseCap train.py have no clip call — so
-    # off is the parity default; the knob is a stability ADDITION for
-    # hotter learning rates, see PARITY.md)
+    # Group-wise global-norm gradient clip (head and trainable-encoder
+    # groups clipped separately; the frozen conv1_/conv2_ group's
+    # discarded grads never enter a norm); 0 = off (the reference's
+    # dense drivers never clip — traingt.py/DenseCap train.py have no
+    # clip call — so off is the parity default; the knob is a stability
+    # ADDITION for hotter learning rates, see PARITY.md)
     grad_clip_norm: float = 0.0
     # Pretrained VGG weights merged into init params (the reference
     # builds from vgg16 IMAGENET1K_V1, net_utils.py:8-13). Syntax:

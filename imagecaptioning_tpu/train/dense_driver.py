@@ -101,12 +101,24 @@ def make_dense_optimizer(cfg: DenseConfig,
                                 eps=cfg.optim_epsilon),
             optax.scale_by_learning_rate(lr_schedule))
 
-    head_tx = adam(cfg.learning_rate)
+    def clipped(inner):
+        # stability ADDITION (off by default; the reference's dense
+        # drivers never clip). GROUP-wise: clipping inside each
+        # multi_transform group keeps the frozen conv1_/conv2_ grads
+        # (whose updates are discarded) out of the norm — a pre-chain
+        # global clip would silently over-clip the head whenever the
+        # discarded trunk grads dominate the norm.
+        if getattr(cfg, "grad_clip_norm", 0.0) > 0:
+            return optax.chain(
+                optax.clip_by_global_norm(cfg.grad_clip_norm), inner)
+        return inner
+
+    head_tx = clipped(adam(cfg.learning_rate))
     if cfg.finetune_cnn:
         def enc_schedule(step):
             return jnp.where(step >= finetune_start_step,
                              cfg.learning_rate, 0.0)
-        enc_tx = adam(enc_schedule)
+        enc_tx = clipped(adam(enc_schedule))
         frozen_tx = optax.set_to_zero()
     else:
         enc_tx = optax.set_to_zero()
@@ -114,11 +126,6 @@ def make_dense_optimizer(cfg: DenseConfig,
     tx = optax.multi_transform(
         {"encoder": enc_tx, "head": head_tx, "frozen": frozen_tx},
         lambda params: _vgg_label_fn(params, cfg.finetune_cnn))
-    if getattr(cfg, "grad_clip_norm", 0.0) > 0:
-        # stability ADDITION (off by default): the reference's dense
-        # drivers never clip, see the config field's note
-        tx = optax.chain(
-            optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
     if getattr(cfg, "grad_accum_steps", 1) > 1:
         # k micro-batches averaged into one update (see optim.py).
         tx = optax.MultiSteps(

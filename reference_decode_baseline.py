@@ -73,12 +73,14 @@ def main():
         def beam_once():
             try:
                 llm.caption(enc, 3)
-            except ValueError:
+            except ValueError as e:
                 # untrained weights never argmax END, so no beam
                 # completes within T+1 steps and the final max() over
                 # completed beams raises — all T+1 steps of beam work
-                # ran; only the winner selection is skipped
-                pass
+                # ran; only the winner selection is skipped. Any OTHER
+                # ValueError must abort loudly, not be timed as a call.
+                if "empty" not in str(e):
+                    raise
 
         beam_imgs = timeit(beam_once, min_s=5.0)
 
