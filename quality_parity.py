@@ -73,16 +73,43 @@ def batch_schedule(train_ix: np.ndarray, bs: int, steps: int):
 
 # ------------------------------------------------------------ torch side
 
-def run_torch(data, batches, lr, wd, boundary, seq_length):
+def _torch_attention_greedy(ref, feats, seq_length, vocab_size):
+    """The reference's greedy branch trips a torch-version shape error
+    on modern torch (`preds[:, t] = token` with token (B,1),
+    AttentionLanguageModule.py:109); run the same loop with ref's own
+    modules and only that assignment shimmed."""
+    import torch
+
+    b = feats.size(0)
+    with torch.no_grad():
+        h, c = ref.get_init_lstm_state(feats)
+        emb = ref.embedding(torch.full((b, 1), vocab_size + 1,
+                                       dtype=torch.long))
+        out = torch.zeros(b, seq_length + 1, dtype=torch.long)
+        for t in range(seq_length + 1):
+            context, _ = ref.attention(feats, h)
+            gate = torch.sigmoid(ref.f_beta(h))
+            e = emb.squeeze(1) if emb.dim() == 3 else emb
+            h, c = ref.lstm(torch.cat((e, gate * context), dim=1),
+                            (h, c))
+            token = ref.deep_output(h).argmax(1)
+            out[:, t] = token
+            if bool((token == vocab_size + 2).all()):
+                break
+            emb = ref.embedding(token)
+    return out
+
+
+def run_torch(data, batches, lr, wd, boundary, seq_length,
+              family="lstm"):
     """The reference's own modules + training-loop semantics
-    (train_LSTM.py:77-133), on CPU."""
+    (train_LSTM.py:77-133 / train_LSTMwAttention.py incl. the
+    doubly-stochastic regularizer, LSTMwAttentionModel.py:59-71), CPU."""
     import torch
     import torch.nn as tnn
 
     from imagecaptioning_tpu.utils.torch_port import build_torch_vgg_trunk
 
-    ref_lang = load_reference_module("AlexCap/LanguageModule.py",
-                                     "qp_ref_language")
     ref_loss = load_reference_module("AlexCap/CustomLoss.py",
                                      "qp_ref_loss")
 
@@ -90,11 +117,28 @@ def run_torch(data, batches, lr, wd, boundary, seq_length):
     vocab = data["vocab"]
     # the use_vggface encoder shape of LSTMModel.py:18-23
     trunk = build_torch_vgg_trunk()
-    llm = ref_lang.LanguageModel(
-        vocab_size=vocab.vocab_size, embedding_size=64,
-        image_vector_dim=512,
-        rnn_size=64, seq_length=seq_length, num_layers=1,
-        idx_to_token=data["idx_to_token"], dropout=0.0, device="cpu")
+    if family == "attention":
+        ref_att = load_reference_module(
+            "AlexCap/AttentionLanguageModule.py", "qp_ref_attention")
+        # the reference hard-codes .cuda() on two buffers in its
+        # teacher-forced path (AttentionLanguageModule.py:70-71);
+        # pure data movement, no math
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        llm = ref_att.Decoder(
+            vocab_size=vocab.vocab_size, embedding_size=64,
+            image_vector_dim=512, rnn_size=64, seq_length=seq_length,
+            idx_to_token=data["idx_to_token"], dropout=0.0,
+            device="cpu")
+        llm.use_beam = False
+    else:
+        ref_lang = load_reference_module("AlexCap/LanguageModule.py",
+                                         "qp_ref_language")
+        llm = ref_lang.LanguageModel(
+            vocab_size=vocab.vocab_size, embedding_size=64,
+            image_vector_dim=512,
+            rnn_size=64, seq_length=seq_length, num_layers=1,
+            idx_to_token=data["idx_to_token"], dropout=0.0,
+            device="cpu")
 
     class TorchCaptioner(tnn.Module):
         """AlexCapModel forward shape (LSTMModel.py:53-73)."""
@@ -126,9 +170,14 @@ def run_torch(data, batches, lr, wd, boundary, seq_length):
             data["images"][ix].transpose(0, 3, 1, 2).copy())
         gt = torch.from_numpy(data["labels"][ix])
         opt.zero_grad(set_to_none=True)
-        out = model(img, gt)
         target = model.llm.get_target(gt, make_target=True)
-        loss = crit(out, target)
+        if family == "attention":
+            preds, alphas = model(img, gt)
+            loss = crit(preds, target)
+            # doubly-stochastic regularizer, LSTMwAttentionModel.py:67-70
+            loss = loss + ((1 - alphas.sum(1)) ** 2).mean()
+        else:
+            loss = crit(model(img, gt), target)
         loss.backward()
         torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
         opt.step()
@@ -139,7 +188,11 @@ def run_torch(data, batches, lr, wd, boundary, seq_length):
     with torch.no_grad():
         feats = model.encode(torch.from_numpy(
             data["images"][ti].transpose(0, 3, 1, 2).copy()))
-        toks = model.llm.predict_caption(feats)
+        if family == "attention":
+            toks = _torch_attention_greedy(model.llm, feats, seq_length,
+                                           vocab.vocab_size)
+        else:
+            toks = model.llm.predict_caption(feats)
     preds = model.llm.decode_sequence(toks)
     refs = model.llm.decode_sequence(torch.from_numpy(data["labels"][ti]))
 
@@ -160,50 +213,90 @@ def run_torch(data, batches, lr, wd, boundary, seq_length):
 
 # -------------------------------------------------------------- jax side
 
-def port_params(sd):
-    """torch state_dict → our LSTMCaptioner param tree (the converters
-    are the round-trip-tested utils/torch_port maps)."""
+def _attention_head_map(sd, prefix="llm."):
+    """Reference Show-Attend-Tell Decoder state_dict slice → our
+    AttentionHead param tree (same map the differential tests pin)."""
+    s = {k[len(prefix):]: np.asarray(v) for k, v in sd.items()
+         if k.startswith(prefix)}
+    lin = lambda p: {"kernel": s[f"{p}.weight"].T, "bias": s[f"{p}.bias"]}
+    return {
+        "init_h": lin("init_h"),
+        "init_c": lin("init_c"),
+        "embedding": {"embedding": s["embedding.weight"]},
+        "att_W_kernel": s["attention.W.weight"].T,
+        "att_W_bias": s["attention.W.bias"],
+        "att_U_kernel": s["attention.U.weight"].T,
+        "att_U_bias": s["attention.U.bias"],
+        "att_v_kernel": s["attention.v.weight"].T,
+        "att_v_bias": s["attention.v.bias"],
+        "f_beta_kernel": s["f_beta.weight"].T,
+        "f_beta_bias": s["f_beta.bias"],
+        "deep_output_kernel": s["deep_output.weight"].T,
+        "deep_output_bias": s["deep_output.bias"],
+        "cell_w_ih": s["lstm.weight_ih"],
+        "cell_w_hh": s["lstm.weight_hh"],
+        "cell_b_ih": s["lstm.bias_ih"],
+        "cell_b_hh": s["lstm.bias_hh"],
+    }
+
+
+def port_params(sd, family="lstm"):
+    """torch state_dict → our captioner param tree (the converters are
+    the round-trip-tested utils/torch_port maps)."""
     import jax
     import jax.numpy as jnp
     from imagecaptioning_tpu.utils import torch_port as tp
 
+    head = (_attention_head_map(sd) if family == "attention"
+            else tp.convert_reference_lstm_head(sd, prefix="llm."))
     params = {
         "features": tp.convert_vgg_features(sd)["params"],
-        "llm": tp.convert_reference_lstm_head(sd, prefix="llm."),
+        "llm": head,
     }
     return jax.tree.map(lambda v: jnp.array(np.asarray(v)), params)
 
 
 def run_jax(data, batches, lr, wd, boundary, seq_length, init_sd,
-            steps):
-    """Our production pieces: LSTMCaptioner (+ stop-gradient frozen
-    variant), make_train_step, make_optimizer with the finetune
-    boundary, make_greedy_fn, eval/scorer — the same components the
-    real driver wires (train/driver.py:91-127)."""
+            steps, family="lstm"):
+    """Our production pieces: LSTMCaptioner/AttentionCaptioner (+
+    stop-gradient frozen variant), make_train_step, make_optimizer with
+    the finetune boundary, make_greedy_fn, eval/scorer — the same
+    components the real driver wires (train/driver.py:91-127)."""
     import jax
     import jax.numpy as jnp
-    from imagecaptioning_tpu.config import get_lstm_config
+    from imagecaptioning_tpu.config import get_config
     from imagecaptioning_tpu.eval import scorer
     from imagecaptioning_tpu.models import api
-    from imagecaptioning_tpu.models.captioners import LSTMCaptioner
+    from imagecaptioning_tpu.models.captioners import (AttentionCaptioner,
+                                                       LSTMCaptioner)
     from imagecaptioning_tpu.train import optim, step as steplib
 
     vocab = data["vocab"]
-    kw = dict(vocab_size=vocab.vocab_size, embedding_size=64, rnn_size=64,
-              dropout=0.0, use_vggface=True)
-    model = LSTMCaptioner(**kw)
-    frozen_model = LSTMCaptioner(**kw, freeze_encoder=True)
+    if family == "attention":
+        kw = dict(vocab_size=vocab.vocab_size, embedding_size=64,
+                  rnn_size=64, dropout=0.0, use_vggface=True,
+                  att_reg_weight=1.0)
+        model = AttentionCaptioner(**kw)
+        frozen_model = AttentionCaptioner(**kw, freeze_encoder=True)
+        cfg_name = "lstm_attention"
+    else:
+        kw = dict(vocab_size=vocab.vocab_size, embedding_size=64,
+                  rnn_size=64, dropout=0.0, use_vggface=True)
+        model = LSTMCaptioner(**kw)
+        frozen_model = LSTMCaptioner(**kw, freeze_encoder=True)
+        cfg_name = "lstm"
 
-    cfg = get_lstm_config().replace(
+    cfg = get_config(cfg_name).replace(
         use_vggface=True, learning_rate=lr, weight_decay=wd,
-        clip_grad=True, finetune_cnn=True, compute_dtype="float32")
+        clip_grad=True, finetune_cnn=True, use_scheduler=False,
+        compute_dtype="float32")
     tx = optim.make_optimizer(cfg, total_steps=steps,
                               finetune_start_step=boundary)
 
     x0 = jnp.asarray(data["images"][batches[0]])
     g0 = jnp.asarray(data["labels"][batches[0]].astype(np.int32))
     state, _ = steplib.create_train_state(model, tx, x0, g0)
-    state = state._replace(params=port_params(init_sd))
+    state = state._replace(params=port_params(init_sd, family))
 
     train_step = jax.jit(steplib.make_train_step(model, tx))
     frozen_step = jax.jit(steplib.make_train_step(frozen_model, tx))
@@ -232,7 +325,8 @@ def run_jax(data, batches, lr, wd, boundary, seq_length, init_sd,
 # ------------------------------------------------------------------ main
 
 def run(steps: int = 160, bs: int = 8, lr: float = 4e-4,
-        num_images: int = 32, seq_length: int = 10, hw: int = 64):
+        num_images: int = 32, seq_length: int = 10, hw: int = 64,
+        family: str = "lstm"):
     # CPU is the parity platform (torch is CPU; fp32 determinism)
     force_cpu()
     boundary = steps // 2
@@ -240,16 +334,18 @@ def run(steps: int = 160, bs: int = 8, lr: float = 4e-4,
     data = build_dataset(num_images, seq_length, hw)
     batches = batch_schedule(data["train_ix"], bs, steps)
 
-    torch_out = run_torch(data, batches, lr, wd, boundary, seq_length)
+    torch_out = run_torch(data, batches, lr, wd, boundary, seq_length,
+                          family)
     init_sd = torch_out.pop("state_dict_init")
     jax_out = run_jax(data, batches, lr, wd, boundary, seq_length,
-                      init_sd, steps)
+                      init_sd, steps, family)
 
     lt = np.asarray(torch_out["losses"])
     lj = np.asarray(jax_out["losses"])
     rel = np.abs(lt - lj) / np.maximum(np.abs(lt), 1e-8)
     report = {
-        "config": {"steps": steps, "batch_size": bs, "lr": lr,
+        "config": {"family": family, "steps": steps, "batch_size": bs,
+                   "lr": lr,
                    "weight_decay": wd, "finetune_boundary": boundary,
                    "num_images": num_images, "seq_length": seq_length,
                    "image_hw": hw},
@@ -278,12 +374,16 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=160)
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--lr", type=float, default=4e-4)
+    ap.add_argument("--family", default="lstm",
+                    choices=["lstm", "attention"])
     ap.add_argument("--out", default="runs/parity")
     args = ap.parse_args(argv)
 
-    report = run(steps=args.steps, bs=args.batch_size, lr=args.lr)
+    report = run(steps=args.steps, bs=args.batch_size, lr=args.lr,
+                 family=args.family)
     os.makedirs(args.out, exist_ok=True)
-    path = os.path.join(args.out, "quality_parity.json")
+    suffix = "" if args.family == "lstm" else f"_{args.family}"
+    path = os.path.join(args.out, f"quality_parity{suffix}.json")
     with open(path, "w") as f:
         json.dump(report, f, indent=1)
     a = report["agreement"]
@@ -315,7 +415,8 @@ def main(argv=None):
         ax.set_title("quality parity: identical init, identical batches")
         ax.legend()
         fig.tight_layout()
-        png = os.path.join(args.out, "quality_parity_curves.png")
+        png = os.path.join(args.out,
+                           f"quality_parity{suffix}_curves.png")
         fig.savefig(png, dpi=120)
         print(f"wrote {png}")
     except Exception as e:                      # viz is best-effort
