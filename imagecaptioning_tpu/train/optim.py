@@ -12,11 +12,14 @@ training-loop semantics:
   lr — the reference's unfreeze-after-one-epoch switch
   (`train_LSTM.py:101-105`) expressed as a schedule so the whole run
   stays one compiled step function.
-- The Transformer driver's quirk — encoder group at lr=0 *with*
-  weight_decay=lr (`train_Transformer.py:79-83`) — is a no-op in torch
-  AdamW (decay is scaled by the group lr, and lr=0 kills it), so the
-  faithful reproduction is simply zero encoder updates until the
-  finetune boundary, which the lr schedule below provides.
+- The Transformer driver's quirk — encoder group at base lr=0 *with*
+  weight_decay=lr (`train_Transformer.py:79-83`) — freezes the encoder
+  for the ENTIRE run: LambdaLR scales the group's base lr, so it stays
+  0 even after `requires_grad_(True)` at the finetune boundary, and
+  torch AdamW's decay (`p *= 1 - lr*wd`) is killed by lr=0 too. The
+  faithful reproduction is a hard zero encoder group for the whole run
+  (while post-boundary encoder grads still feed the GLOBAL clip norm,
+  exactly as torch's clip_grad_norm_ sees them).
 - The pretrained ViT-B encoder is `requires_grad=False` for the whole
   run (`VitbModel.py:162-166`); torch optimizers skip grad-less params
   — no update, no decay — reproduced with a hard `set_to_zero` group.
@@ -114,6 +117,17 @@ def make_optimizer(cfg, total_steps: int,
         # skip grad-less params entirely — no update and, crucially, no
         # AdamW decay — so the encoder group must be a hard zero, not
         # an lr=0 AdamW (which would still decay the frozen weights).
+        enc_tx = optax.set_to_zero()
+    elif cfg.model_type == "transformer":
+        # The reference's encoder AdamW group has base lr=0 for the
+        # whole run and LambdaLR scales that base
+        # (train_Transformer.py:79-83) — so the unfreeze at the finetune
+        # boundary (requires_grad_(True), :125-129) never produces an
+        # encoder update, and lr=0 kills the AdamW decay as well. The
+        # CNN is effectively frozen forever; reproduce with a hard zero.
+        # (The driver still switches to the grad-carrying model at the
+        # boundary so post-boundary encoder grads enter the GLOBAL clip
+        # norm, exactly as torch's clip_grad_norm_ sees them.)
         enc_tx = optax.set_to_zero()
     elif cfg.finetune_cnn and finetune_start_step > 0:
         # Frozen-CNN phase: the encoder's moments/decay are fully gated

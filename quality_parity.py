@@ -104,7 +104,22 @@ def run_torch(data, batches, lr, wd, boundary, seq_length,
               family="lstm"):
     """The reference's own modules + training-loop semantics
     (train_LSTM.py:77-133 / train_LSTMwAttention.py incl. the
-    doubly-stochastic regularizer, LSTMwAttentionModel.py:59-71), CPU."""
+    doubly-stochastic regularizer, LSTMwAttentionModel.py:59-71), CPU.
+    Restores the process-wide torch.Tensor.cuda shim (attention family)
+    on every exit path — in-process callers (tests) must not inherit a
+    no-op .cuda()."""
+    import torch
+
+    orig_cuda = torch.Tensor.cuda
+    try:
+        return _run_torch_inner(data, batches, lr, wd, boundary,
+                                seq_length, family)
+    finally:
+        torch.Tensor.cuda = orig_cuda
+
+
+def _run_torch_inner(data, batches, lr, wd, boundary, seq_length,
+                     family):
     import torch
     import torch.nn as tnn
 
@@ -122,7 +137,7 @@ def run_torch(data, batches, lr, wd, boundary, seq_length,
             "AlexCap/AttentionLanguageModule.py", "qp_ref_attention")
         # the reference hard-codes .cuda() on two buffers in its
         # teacher-forced path (AttentionLanguageModule.py:70-71);
-        # pure data movement, no math
+        # pure data movement, no math (run_torch restores the shim)
         torch.Tensor.cuda = lambda self, *a, **k: self
         llm = ref_att.Decoder(
             vocab_size=vocab.vocab_size, embedding_size=64,
