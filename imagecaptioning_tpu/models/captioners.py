@@ -192,10 +192,16 @@ class TransformerCaptioner(nn.Module, _CNNEncoderMixin):
     backbone_stages: Tuple[int, ...] = (3, 4, 23, 3)
     compute_dtype: Any = jnp.float32
     freeze_encoder: bool = False
+    # 0 = derive from use_vggface (224-input grids: 14 vggface / 7
+    # resnet, TransformerModel.py:31); set explicitly for other image
+    # sizes — the reference Encoder hard-requires grid == patch_size²
+    # (TransformerModule.py:126-128)
+    patch_size_override: int = 0
 
     def setup(self):
         self.features, self.fc_dim = self._make_encoder()
-        self.patch_size = 14 if self.use_vggface else 7
+        self.patch_size = self.patch_size_override or (
+            14 if self.use_vggface else 7)
         self.fc = nn.Dense(self.embed_size)
         self.encoder = Encoder(
             embed_size=self.embed_size, num_layers=self.num_layers,
@@ -337,9 +343,15 @@ def build_model(cfg, vocab_size: int, seq_length: int,
     if cfg.model_type == "vitb":
         if freeze_encoder is None:
             fe = bool(cfg.trained_encoder)
+        # cfg.vit_dims=() keeps the real ViT-B/16 encoder
+        vit = {}
+        if getattr(cfg, "vit_dims", ()):
+            s, p, L, H, hid, mlp = cfg.vit_dims
+            vit = dict(image_size=s, vit_patch=p, vit_layers=L,
+                       vit_heads=H, vit_hidden=hid, vit_mlp=mlp)
         return ViTCaptioner(
             vocab_size=vocab_size, max_length=seq_length,
             embed_size=cfg.embedding_size, num_layers=cfg.num_layers,
             heads=cfg.num_heads, dropout=drop, compute_dtype=dtype,
-            freeze_encoder=fe)
+            freeze_encoder=fe, **vit)
     raise ValueError(f"unknown model_type {cfg.model_type}")

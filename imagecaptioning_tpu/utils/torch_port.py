@@ -299,6 +299,40 @@ def convert_reference_transformer(sd: Mapping, num_layers: int) -> Dict:
             "encoder": enc_params, "decoder": dec_params}
 
 
+def convert_reference_vitb_decoder(sd: Mapping, num_layers: int,
+                                   prefix: str = "decoder.") -> Dict:
+    """The ViT-B captioner's own Decoder copy state_dict
+    (`AlexCap/VitbModel.py:114-149` — the TransformerModule decoder that
+    also returns cross-attention alphas) → our `ops.transformer.Decoder`
+    params. Same layout as convert_reference_transformer's decoder
+    part, but rooted at `prefix` with no encoder/fc siblings."""
+    s = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+    def block(p):
+        return {
+            "attention": {k: convert_linear(s, f"{p}.attention.{k}")
+                          for k in ("values", "keys", "queries", "fc_out")},
+            "norm1": convert_norm(s, f"{p}.norm1"),
+            "norm2": convert_norm(s, f"{p}.norm2"),
+            "ff1": convert_linear(s, f"{p}.feed_forward.0"),
+            "ff2": convert_linear(s, f"{p}.feed_forward.2"),
+        }
+
+    dec = {
+        "word_embedding": convert_embedding(s, "word_embedding"),
+        "position_embedding": _np(s["position_embedding.weight"]),
+        "fc_out": convert_linear(s, "fc_out"),
+    }
+    for i in range(num_layers):
+        dec[f"layer_{i}"] = {
+            "norm": convert_norm(s, f"layers.{i}.norm"),
+            "attention": {k: convert_linear(s, f"layers.{i}.attention.{k}")
+                          for k in ("values", "keys", "queries", "fc_out")},
+            "transformer_block": block(f"layers.{i}.transformer_block"),
+        }
+    return dec
+
+
 # ------------------------------------------------- reverse (flax → torch)
 
 def _flat(tree: Mapping, prefix: str = "") -> Dict[str, np.ndarray]:

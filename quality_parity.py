@@ -1,15 +1,29 @@
 #!/usr/bin/env python
 """Miniature quality-parity run: the reference trained against us.
 
-Trains the REFERENCE'S OWN torch modules — `AlexCap/LanguageModule.py`
-LSTM head + `AlexCap/CustomLoss.py` on a VGG16-features trunk, wired in
-the AlexCapModel shape (`/root/reference/AlexCap/LSTMModel.py:53-73`) —
-and this framework's `LSTMCaptioner` from IDENTICAL ported
-initialization, on the same synthetic Face2Text-style dataset with the
-same batch schedule and the reference's training-loop semantics
-(`/root/reference/train_LSTM.py:77-133`): Adam with additive-L2 weight
-decay 1e-6, global-norm clip 1.0, frozen-CNN phase then unfreeze at the
-finetune boundary.
+Trains the REFERENCE'S OWN torch modules and this framework's captioner
+from IDENTICAL ported initialization, on the same synthetic
+Face2Text-style dataset with the same batch schedule and the
+reference's training-loop semantics, for all four AlexCap families:
+
+- lstm: `AlexCap/LanguageModule.py` head + `AlexCap/CustomLoss.py` on a
+  VGG16-features trunk in the AlexCapModel shape
+  (`LSTMModel.py:53-73`); Adam, additive-L2 wd 1e-6, clip 1.0,
+  frozen-CNN phase then unfreeze at the boundary
+  (`train_LSTM.py:77-133`).
+- attention: `AlexCap/AttentionLanguageModule.py` incl. the
+  doubly-stochastic regularizer (`LSTMwAttentionModel.py:59-71`).
+- transformer: `AlexCap/TransformerModule.py` with the REAL two-group
+  AdamW — llm at (lr, wd=0.1), features at base lr=0 with
+  weight_decay=lr, which never updates (`train_Transformer.py:72-83`).
+- vitb: the reference's own `VitbModel.py` Decoder over a mini ViT
+  encoder with torchvision vit_b_16's exact module naming, frozen at
+  construction like the pretrained flagship (`VitbModel.py:162-166`),
+  AdamW via the collect_params split (`train_ViTB.py:51-73`).
+
+`--control` reruns the torch side from rel-1e-7-perturbed init — the
+torch-vs-torch chaotic divergence envelope that calibrates how much of
+the cross-framework loss drift is just fp32 sensitivity.
 
 Each side is then evaluated with ITS OWN eval harness on its own greedy
 decodes of the test split: the reference's
@@ -101,10 +115,13 @@ def _torch_attention_greedy(ref, feats, seq_length, vocab_size):
 
 
 def run_torch(data, batches, lr, wd, boundary, seq_length,
-              family="lstm"):
+              family="lstm", init_sd=None):
     """The reference's own modules + training-loop semantics
     (train_LSTM.py:77-133 / train_LSTMwAttention.py incl. the
-    doubly-stochastic regularizer, LSTMwAttentionModel.py:59-71), CPU.
+    doubly-stochastic regularizer, LSTMwAttentionModel.py:59-71;
+    train_Transformer.py:72-133 incl. the two-group AdamW;
+    train_ViTB.py:51-120 with the collect_params split), CPU.
+    `init_sd` overrides the initial state_dict (control reruns).
     Restores the process-wide torch.Tensor.cuda shim (attention family)
     on every exit path — in-process callers (tests) must not inherit a
     no-op .cuda()."""
@@ -112,14 +129,17 @@ def run_torch(data, batches, lr, wd, boundary, seq_length,
 
     orig_cuda = torch.Tensor.cuda
     try:
+        if family == "vitb":
+            return _run_torch_vitb(data, batches, lr, wd, seq_length,
+                                   init_sd)
         return _run_torch_inner(data, batches, lr, wd, boundary,
-                                seq_length, family)
+                                seq_length, family, init_sd)
     finally:
         torch.Tensor.cuda = orig_cuda
 
 
 def _run_torch_inner(data, batches, lr, wd, boundary, seq_length,
-                     family):
+                     family, init_sd=None):
     import torch
     import torch.nn as tnn
 
@@ -144,6 +164,19 @@ def _run_torch_inner(data, batches, lr, wd, boundary, seq_length,
             image_vector_dim=512, rnn_size=64, seq_length=seq_length,
             idx_to_token=data["idx_to_token"], dropout=0.0,
             device="cpu")
+        llm.use_beam = False
+    elif family == "transformer":
+        ref_tr = load_reference_module("AlexCap/TransformerModule.py",
+                                       "qp_ref_transformer")
+        # the VGG trunk downsamples 16×, so the patch grid is
+        # (hw/16)²; the reference Encoder hard-requires grid ==
+        # patch_size² (TransformerModule.py:126-128)
+        patch = data["images"].shape[1] // 16
+        llm = ref_tr.Transformer(
+            src_vocab_size=vocab.vocab_size, fc_dim=512,
+            token_dict=data["idx_to_token"], max_length=seq_length,
+            patch_size=patch, embed_size=64, num_layers=2, heads=4,
+            forward_expansion=4, dropout=0.0, device="cpu")
         llm.use_beam = False
     else:
         ref_lang = load_reference_module("AlexCap/LanguageModule.py",
@@ -171,10 +204,25 @@ def _run_torch_inner(data, batches, lr, wd, boundary, seq_length,
             return self.llm(self.encode(images), gt)
 
     model = TorchCaptioner().eval()      # dropout 0; VGG has no BN
+    if init_sd is not None:              # control rerun: perturbed init
+        model.load_state_dict(init_sd)
     sd_init = {k: v.detach().clone()
                for k, v in model.state_dict().items()}
     crit = ref_loss.CustomCrossEntropyLoss()
-    opt = torch.optim.Adam(model.parameters(), lr=lr, weight_decay=wd)
+    if family == "transformer":
+        # train_Transformer.py:72-83: AdamW, llm group at (lr, wd=0.1),
+        # features group at BASE lr=0 with weight_decay=lr — which
+        # never updates (LambdaLR scales the 0 base; lr=0 also kills
+        # the AdamW decay). Reproduced verbatim.
+        opt = torch.optim.AdamW(
+            [{"params": model.llm.parameters(), "lr": lr,
+              "weight_decay": wd},
+             {"params": model.features.parameters(), "lr": 0.0,
+              "weight_decay": lr}],
+            betas=(0.9, 0.999), eps=1e-8)
+    else:
+        opt = torch.optim.Adam(model.parameters(), lr=lr,
+                               weight_decay=wd)
     model.features.requires_grad_(False)   # frozen-CNN phase
 
     losses = []
@@ -206,23 +254,197 @@ def _run_torch_inner(data, batches, lr, wd, boundary, seq_length,
         if family == "attention":
             toks = _torch_attention_greedy(model.llm, feats, seq_length,
                                            vocab.vocab_size)
+        elif family == "transformer":
+            # forward with an empty target = the reference's greedy
+            # branch (TransformerModule.py:361-388)
+            toks = model.llm(feats, feats.new())
         else:
             toks = model.llm.predict_caption(feats)
     preds = model.llm.decode_sequence(toks)
     refs = model.llm.decode_sequence(torch.from_numpy(data["labels"][ti]))
 
+    meteor, bleu = _reference_score(preds, refs)
+    return {"losses": losses, "predictions": preds, "references": refs,
+            "meteor": meteor, "bleu": bleu,
+            "state_dict_init": sd_init}
+
+
+def _reference_score(preds, refs):
+    """The reference's own eval harness (eval_resnet.py:108-123) with
+    the offline NLTK degradations our scorer also falls back to
+    (whitespace tokenize, wordnet-free METEOR)."""
     ref_eval = load_reference_module("AlexCap/eval/eval_resnet.py",
                                      "qp_ref_eval")
-    # offline NLTK degradations, identical to what our scorer falls
-    # back to (captions are whitespace-joined; no wordnet corpus)
     from imagecaptioning_tpu.eval.scorer import meteor_pair
     ref_eval.word_tokenize = lambda s: s.split()
     ref_eval.meteor = lambda r, c: meteor_pair(r, c)
     blob = ref_eval.score_captions(
         [{"candidate": p, "references": r} for p, r in zip(preds, refs)])
+    return blob["average_score"], blob["average_bl_score"]
+
+
+def _run_torch_vitb(data, batches, lr, wd, seq_length, init_sd=None):
+    """The flagship ViT-B configuration (vitb_opts: pretrained encoder,
+    frozen at construction — VitbModel.py:162-166): a mini ViT encoder
+    with torchvision vit_b_16's EXACT module naming + the reference's
+    OWN VitbModel.Decoder, trained with train_ViTB.py's AdamW
+    collect_params split (:51-73). The encoder's shared random init
+    stands in for the unavailable IMAGENET1K_V1 download on both sides
+    (what matters is that both sides start from the SAME frozen
+    encoder)."""
+    import types
+
+    import torch
+    import torch.nn as tnn
+
+    ref_loss = load_reference_module("AlexCap/CustomLoss.py",
+                                     "qp_ref_loss_vitb")
+    mod = load_reference_module("AlexCap/VitbModel.py", "qp_ref_vitb")
+
+    torch.manual_seed(0)
+    vocab = data["vocab"]
+    H, L, HEADS, MLP, PATCH = 32, 2, 4, 64, 16
+    hw = data["images"].shape[1]
+    n_tokens = (hw // PATCH) ** 2 + 1
+
+    class TorchViTBlock(tnn.Module):
+        """torchvision EncoderBlock naming (ln_1/self_attention/ln_2/mlp)."""
+
+        def __init__(self):
+            super().__init__()
+            self.ln_1 = tnn.LayerNorm(H, eps=1e-6)
+            self.self_attention = tnn.MultiheadAttention(
+                H, HEADS, batch_first=True)
+            self.ln_2 = tnn.LayerNorm(H, eps=1e-6)
+            self.mlp = tnn.Sequential(tnn.Linear(H, MLP), tnn.GELU(),
+                                      tnn.Dropout(0.0), tnn.Linear(MLP, H))
+
+        def forward(self, x):
+            h = self.ln_1(x)
+            h, _ = self.self_attention(h, h, h, need_weights=False)
+            x = x + h
+            return x + self.mlp(self.ln_2(x))
+
+    class TorchViTEncoder(tnn.Module):
+        """torchvision Encoder naming (pos_embedding/layers/ln)."""
+
+        def __init__(self):
+            super().__init__()
+            from collections import OrderedDict
+            self.pos_embedding = tnn.Parameter(
+                torch.empty(1, n_tokens, H).normal_(std=0.02))
+            self.layers = tnn.Sequential(OrderedDict(
+                (f"encoder_layer_{i}", TorchViTBlock())
+                for i in range(L)))
+            self.ln = tnn.LayerNorm(H, eps=1e-6)
+
+        def forward(self, x):
+            return self.ln(self.layers(x + self.pos_embedding))
+
+    class TorchViTCaptioner(tnn.Module):
+        """VitTransformer's forward math (VitbModel.py:322-356) over
+        the mini encoder + the reference's own Decoder."""
+
+        def __init__(self):
+            super().__init__()
+            self.conv_proj = tnn.Conv2d(3, H, PATCH, PATCH)
+            self.class_token = tnn.Parameter(torch.zeros(1, 1, H))
+            self.encoder = TorchViTEncoder()
+            self.decoder = mod.Decoder(
+                trg_vocab_size=vocab.vocab_size + 3, embed_size=H,
+                num_layers=L, heads=HEADS, forward_expansion=4,
+                dropout=0.0, device="cpu", max_length=seq_length + 1)
+
+        def encode(self, images):
+            x = self.conv_proj(images)
+            x = x.reshape(x.size(0), H, -1).permute(0, 2, 1)
+            tok = self.class_token.expand(x.size(0), -1, -1)
+            return self.encoder(torch.cat([tok, x], dim=1))
+
+    model = TorchViTCaptioner().eval()
+    if init_sd is not None:              # control rerun: perturbed init
+        model.load_state_dict(init_sd)
+    sd_init = {k: v.detach().clone()
+               for k, v in model.state_dict().items()}
+
+    # the reference's own unbound target/mask/decode helpers — they
+    # touch only sos/eos/device/token_dict (VitbModel.py:198-265)
+    shim = types.SimpleNamespace(sos=vocab.vocab_size + 1,
+                                 eos=vocab.vocab_size + 2, device="cpu",
+                                 token_dict=data["idx_to_token"])
+
+    def get_target(gt, make_target=False):
+        return mod.VitTransformer.get_target(shim, gt, make_target)
+
+    def make_trg_mask(trg, key_masking=True):
+        return mod.VitTransformer.make_trg_mask(shim, trg, key_masking)
+
+    crit = ref_loss.CustomCrossEntropyLoss()
+    # pretrained flagship: encoder frozen at construction (:162-166)
+    model.conv_proj.requires_grad_(False)
+    model.class_token.requires_grad_(False)
+    model.encoder.requires_grad_(False)
+    # train_ViTB.py:51-73 collect_params: nn.Embedding LEAVES → the
+    # embeddings group, other leaf modules → params; both groups get
+    # identical (lr, wd), so the split is cosmetic. NB collect_params
+    # silently drops DIRECT parameters of composite modules
+    # (class_token, pos_embedding, MHA in_proj) from the optimizer —
+    # all frozen in this pretrained configuration, so no behavior
+    # difference here; see PARITY.md for the from-scratch implication.
+    embed_params, rest = [], []
+
+    def collect(module):
+        for child in module.children():
+            if list(child.children()):
+                collect(child)
+            else:
+                (embed_params if isinstance(child, tnn.Embedding)
+                 else rest).extend(child.parameters())
+
+    collect(model)
+    opt = torch.optim.AdamW(
+        [{"params": rest, "lr": lr, "weight_decay": wd},
+         {"params": embed_params, "lr": lr, "weight_decay": wd}],
+        betas=(0.9, 0.999), eps=1e-8)
+
+    losses = []
+    for ix in batches:
+        img = torch.from_numpy(
+            data["images"][ix].transpose(0, 3, 1, 2).copy())
+        gt = torch.from_numpy(data["labels"][ix])
+        opt.zero_grad(set_to_none=True)
+        x = model.encode(img)
+        dec_in = get_target(gt)
+        out, _ = model.decoder(dec_in, x, None, make_trg_mask(dec_in))
+        loss = crit(out, get_target(gt, True))
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+        opt.step()
+        losses.append(float(loss.detach()))
+
+    # greedy decode (the use_beam=False branch of forward_test,
+    # VitbModel.py:368-380)
+    ti = data["test_ix"]
+    with torch.no_grad():
+        x = model.encode(torch.from_numpy(
+            data["images"][ti].transpose(0, 3, 1, 2).copy()))
+        b = x.size(0)
+        gen = torch.zeros(b, seq_length + 1, dtype=torch.long)
+        trg = torch.full((b, 1), shim.sos, dtype=torch.long)
+        for i in range(seq_length + 1):
+            out, _ = model.decoder(trg, x, None,
+                                   make_trg_mask(trg, False))
+            nxt = out[:, -1, :].argmax(dim=1, keepdim=True)
+            gen[:, i:i + 1] = nxt
+            trg = torch.cat((trg, nxt), dim=1)
+            if bool(torch.all(nxt == shim.eos)):
+                break
+    preds = mod.VitTransformer.decode_sequence(shim, gen)
+    refs = mod.VitTransformer.decode_sequence(
+        shim, torch.from_numpy(data["labels"][ti]))
+    meteor, bleu = _reference_score(preds, refs)
     return {"losses": losses, "predictions": preds, "references": refs,
-            "meteor": blob["average_score"],
-            "bleu": blob["average_bl_score"],
+            "meteor": meteor, "bleu": bleu,
             "state_dict_init": sd_init}
 
 
@@ -262,12 +484,26 @@ def port_params(sd, family="lstm"):
     import jax.numpy as jnp
     from imagecaptioning_tpu.utils import torch_port as tp
 
-    head = (_attention_head_map(sd) if family == "attention"
-            else tp.convert_reference_lstm_head(sd, prefix="llm."))
-    params = {
-        "features": tp.convert_vgg_features(sd)["params"],
-        "llm": head,
-    }
+    if family == "vitb":
+        params = {
+            "encoder_vit": tp.convert_vit(sd, num_layers=2, num_heads=4,
+                                          hidden=32)["params"],
+            "decoder": tp.convert_reference_vitb_decoder(sd, num_layers=2),
+        }
+    elif family == "transformer":
+        llm_sd = {k[len("llm."):]: v for k, v in sd.items()
+                  if k.startswith("llm.")}
+        params = {
+            "features": tp.convert_vgg_features(sd)["params"],
+            **tp.convert_reference_transformer(llm_sd, num_layers=2),
+        }
+    else:
+        head = (_attention_head_map(sd) if family == "attention"
+                else tp.convert_reference_lstm_head(sd, prefix="llm."))
+        params = {
+            "features": tp.convert_vgg_features(sd)["params"],
+            "llm": head,
+        }
     return jax.tree.map(lambda v: jnp.array(np.asarray(v)), params)
 
 
@@ -283,7 +519,9 @@ def run_jax(data, batches, lr, wd, boundary, seq_length, init_sd,
     from imagecaptioning_tpu.eval import scorer
     from imagecaptioning_tpu.models import api
     from imagecaptioning_tpu.models.captioners import (AttentionCaptioner,
-                                                       LSTMCaptioner)
+                                                       LSTMCaptioner,
+                                                       TransformerCaptioner,
+                                                       ViTCaptioner)
     from imagecaptioning_tpu.train import optim, step as steplib
 
     vocab = data["vocab"]
@@ -294,6 +532,24 @@ def run_jax(data, batches, lr, wd, boundary, seq_length, init_sd,
         model = AttentionCaptioner(**kw)
         frozen_model = AttentionCaptioner(**kw, freeze_encoder=True)
         cfg_name = "lstm_attention"
+    elif family == "transformer":
+        kw = dict(vocab_size=vocab.vocab_size, max_length=seq_length,
+                  embed_size=64, num_layers=2, heads=4, dropout=0.0,
+                  use_vggface=True,
+                  patch_size_override=data["images"].shape[1] // 16)
+        model = TransformerCaptioner(**kw)
+        frozen_model = TransformerCaptioner(**kw, freeze_encoder=True)
+        cfg_name = "transformer"
+    elif family == "vitb":
+        kw = dict(vocab_size=vocab.vocab_size, max_length=seq_length,
+                  embed_size=32, num_layers=2, heads=4,
+                  forward_expansion=4, dropout=0.0, image_size=32,
+                  vit_patch=16, vit_layers=2, vit_heads=4,
+                  vit_hidden=32, vit_mlp=64)
+        # pretrained flagship semantics: encoder frozen the whole run
+        model = ViTCaptioner(**kw, freeze_encoder=True)
+        frozen_model = model
+        cfg_name = "vitb"
     else:
         kw = dict(vocab_size=vocab.vocab_size, embedding_size=64,
                   rnn_size=64, dropout=0.0, use_vggface=True)
@@ -305,6 +561,8 @@ def run_jax(data, batches, lr, wd, boundary, seq_length, init_sd,
         use_vggface=True, learning_rate=lr, weight_decay=wd,
         clip_grad=True, finetune_cnn=True, use_scheduler=False,
         compute_dtype="float32")
+    if family == "vitb":
+        cfg = cfg.replace(trained_encoder=True)
     tx = optim.make_optimizer(cfg, total_steps=steps,
                               finetune_start_step=boundary)
 
@@ -314,7 +572,8 @@ def run_jax(data, batches, lr, wd, boundary, seq_length, init_sd,
     state = state._replace(params=port_params(init_sd, family))
 
     train_step = jax.jit(steplib.make_train_step(model, tx))
-    frozen_step = jax.jit(steplib.make_train_step(frozen_model, tx))
+    frozen_step = (train_step if frozen_model is model
+                   else jax.jit(steplib.make_train_step(frozen_model, tx)))
 
     losses = []
     for it, ix in enumerate(batches):
@@ -339,13 +598,37 @@ def run_jax(data, batches, lr, wd, boundary, seq_length, init_sd,
 
 # ------------------------------------------------------------------ main
 
-def run(steps: int = 160, bs: int = 8, lr: float = 4e-4,
-        num_images: int = 32, seq_length: int = 10, hw: int = 64,
-        family: str = "lstm"):
+def _perturb_state_dict(sd, rel: float = 1e-7, seed: int = 1234):
+    """Multiplicative N(0, rel) noise on float entries — the magnitude
+    of fp32 round-off a cross-framework port introduces. Used for the
+    torch-vs-torch control run."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    out = {}
+    for k, v in sd.items():
+        if v.is_floating_point():
+            out[k] = v * (1 + rel * torch.randn(v.shape, generator=g,
+                                                dtype=v.dtype))
+        else:
+            out[k] = v.clone()
+    return out
+
+
+def run(steps: int = 160, bs: int = 8, lr: float = None,
+        num_images: int = 32, seq_length: int = 10, hw: int = None,
+        family: str = "lstm", control: bool = False):
     # CPU is the parity platform (torch is CPU; fp32 determinism)
     force_cpu()
     boundary = steps // 2
-    wd = 1e-6                      # train_LSTM.py:59
+    is_adamw = family in ("transformer", "vitb")
+    # per-family opts defaults: AdamW wd=0.1 (Transformer_opts.py:30,
+    # vitb_opts.py:30) vs Adam additive-L2 wd=1e-6 (train_LSTM.py:59)
+    wd = 0.1 if is_adamw else 1e-6
+    if lr is None:
+        lr = 3e-4 if is_adamw else 4e-4
+    if hw is None:
+        hw = 32 if family == "vitb" else 64   # mini-ViT patch grid 2×2
     data = build_dataset(num_images, seq_length, hw)
     batches = batch_schedule(data["train_ix"], bs, steps)
 
@@ -381,6 +664,28 @@ def run(steps: int = 160, bs: int = 8, lr: float = 4e-4,
             "bleu_abs_diff": abs(torch_out["bleu"] - jax_out["bleu"]),
         },
     }
+    if control:
+        # torch-vs-torch control: the SAME reference training run from
+        # an init perturbed at fp32-port magnitude (rel 1e-7). Its
+        # divergence envelope is what chaotic loss-trajectory growth
+        # produces with NO cross-framework difference at all — the
+        # yardstick for reading max_rel_loss_diff_all.
+        ctl = run_torch(data, batches, lr, wd, boundary, seq_length,
+                        family, init_sd=_perturb_state_dict(init_sd))
+        lc = np.asarray(ctl["losses"])
+        relc = np.abs(lt - lc) / np.maximum(np.abs(lt), 1e-8)
+        report["control"] = {
+            "description": "reference (torch) rerun from init perturbed "
+                           "by rel 1e-7 noise, vs the unperturbed "
+                           "reference run",
+            "losses": ctl["losses"],
+            "meteor": ctl["meteor"], "bleu": ctl["bleu"],
+        }
+        report["agreement"].update({
+            "control_max_rel_diff_first_50": float(relc[:50].max()),
+            "control_max_rel_diff_all": float(relc.max()),
+            "control_mean_rel_diff_all": float(relc.mean()),
+        })
     return report
 
 
@@ -388,14 +693,20 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=160)
     ap.add_argument("--batch-size", type=int, default=8)
-    ap.add_argument("--lr", type=float, default=4e-4)
+    ap.add_argument("--lr", type=float, default=None,
+                    help="default: 4e-4 (Adam families) / "
+                         "3e-4 (AdamW families)")
     ap.add_argument("--family", default="lstm",
-                    choices=["lstm", "attention"])
+                    choices=["lstm", "attention", "transformer", "vitb"])
+    ap.add_argument("--control", action="store_true",
+                    help="also rerun the torch side from rel-1e-7 "
+                         "perturbed init: the torch-vs-torch chaotic "
+                         "divergence envelope")
     ap.add_argument("--out", default="runs/parity")
     args = ap.parse_args(argv)
 
     report = run(steps=args.steps, bs=args.batch_size, lr=args.lr,
-                 family=args.family)
+                 family=args.family, control=args.control)
     os.makedirs(args.out, exist_ok=True)
     suffix = "" if args.family == "lstm" else f"_{args.family}"
     path = os.path.join(args.out, f"quality_parity{suffix}.json")
@@ -413,6 +724,11 @@ def main(argv=None):
           f"  jax {report['jax']['meteor']:.4f}"
           f"  | BLEU: torch {report['torch']['bleu']:.4f}"
           f"  jax {report['jax']['bleu']:.4f}")
+    if "control_max_rel_diff_all" in a:
+        print(f"control (torch-vs-torch, perturbed init): "
+              f"first50 max {a['control_max_rel_diff_first_50']:.2e}"
+              f"  all max {a['control_max_rel_diff_all']:.2e}"
+              f"  mean {a['control_mean_rel_diff_all']:.2e}")
 
     try:
         import matplotlib

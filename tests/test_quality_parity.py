@@ -7,6 +7,7 @@ its decodes near-identically."""
 import os
 import sys
 
+import numpy as np
 import pytest
 
 REF_ROOT = "/root/reference"
@@ -54,3 +55,46 @@ def test_attention_family_training_run_matches():
     a = report["agreement"]
     assert a["max_rel_loss_diff_all"] < 2e-3, a
     assert a["meteor_abs_diff"] < 0.02, a
+
+    # the process-wide torch.Tensor.cuda shim the torch side installs
+    # must not leak to later in-process callers
+    import torch
+    assert "lambda" not in repr(torch.Tensor.cuda)
+
+
+def test_transformer_family_training_run_matches():
+    """The transformer family under the REAL two-group AdamW
+    (train_Transformer.py:72-83): llm at (lr, wd=0.1), features at base
+    lr=0 with weight_decay=lr — the encoder never updates, even after
+    the requires_grad_(True) unfreeze at the boundary."""
+    qp = _qp()
+    report = qp.run(steps=30, bs=8, num_images=24,
+                    seq_length=8, hw=32, family="transformer")
+    a = report["agreement"]
+    assert a["max_rel_loss_diff_all"] < 2e-3, a
+    assert a["meteor_abs_diff"] < 0.02, a
+
+
+def test_vitb_family_training_run_matches():
+    """The ViT-B family in the pretrained flagship shape: frozen mini
+    ViT encoder with torchvision naming + the reference's own
+    VitbModel.Decoder, AdamW via the collect_params split
+    (train_ViTB.py:51-73)."""
+    qp = _qp()
+    report = qp.run(steps=30, bs=8, num_images=24,
+                    seq_length=8, hw=32, family="vitb")
+    a = report["agreement"]
+    assert a["max_rel_loss_diff_all"] < 2e-3, a
+    assert a["meteor_abs_diff"] < 0.02, a
+
+
+def test_control_run_reports_divergence_envelope():
+    """--control reruns the torch side from rel-1e-7 perturbed init and
+    reports the torch-vs-torch divergence stats next to ours."""
+    qp = _qp()
+    report = qp.run(steps=10, bs=8, lr=4e-4, num_images=24,
+                    seq_length=8, hw=32, control=True)
+    a = report["agreement"]
+    assert "control_max_rel_diff_all" in a
+    assert np.isfinite(a["control_max_rel_diff_all"])
+    assert len(report["control"]["losses"]) == 10
