@@ -32,11 +32,13 @@ def test_learnable_captions_describe_the_image():
     arrays, info = make_learnable_face2text_arrays(num_images=12, seed=0,
                                                    noise=0.0)
     vocab = Vocab(info["token_to_idx"], info["idx_to_token"])
+    h = arrays["images"].shape[1]
     for i in range(12):
         cap = vocab.decode_row(
             arrays["labels"][arrays["img_to_first_phr"][i]])
         img = arrays["images"][i]
-        hair_px = tuple(img[5, 5])              # hair band
+        # sample the hair band below the optional hat strip (top 10%)
+        hair_px = tuple(img[int(0.2 * h), 5])
         shirt_px = tuple(img[-5, 5])            # shirt band
         hair_word = [w for w, c in _HAIR.items() if c == hair_px]
         shirt_word = [w for w, c in _SHIRT.items() if c == shirt_px]
@@ -67,7 +69,8 @@ def test_learnable_vg_schema_and_grounding():
             px = tuple(arrays["images"][i, int(yc - 1), int(xc - 1)])
             color = [c for c, v in _BOX_COLORS.items() if v == px]
             assert color and color[0] in cap, (cap, px)
-            assert ("top" if yc <= 64 else "bottom") in cap, (cap, yc)
+            half = ("top", "upper") if yc <= 64 else ("bottom", "lower")
+            assert any(wd in cap for wd in half), (cap, yc)
 
 
 def test_build_model_honors_backbone_stages():
