@@ -33,7 +33,10 @@ import os
 
 def _attention_vis(summary, out_dir, tag):
     """Decode one test image with alphas and render the per-word
-    attention grid (generate_vis.py:59-85 parity)."""
+    attention grid (generate_vis.py:59-85 parity). Handles both the
+    Show-Attend-Tell alphas (grid²) and the ViT decoder's
+    cross-attention alphas (class token + grid², VitbModel.py:380 drops
+    the class column the same way)."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -54,6 +57,11 @@ def _attention_vis(summary, out_dir, tag):
     gt_caption = loader.vocab.decode_sequence(np.asarray(gt))[0]
     n_words = len(caption.split())
     a = (np.asarray(alphas)[0, :n_words] if alphas is not None else None)
+    if a is not None:
+        n = a.shape[-1]
+        g = int(np.sqrt(n))
+        if g * g != n and int(np.sqrt(n - 1)) ** 2 == n - 1:
+            a = a[..., 1:]              # drop the ViT class token
     return generate_caption_vis(np.asarray(img_u8[0]), caption, a,
                                 out_dir=out_dir, name=f"vis_{tag}",
                                 gt_caption=gt_caption)
@@ -195,7 +203,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="lstm",
                     choices=["lstm", "lstm_attention", "transformer",
-                             "gt", "rpn"])
+                             "vitb", "gt", "rpn"])
     ap.add_argument("--images", type=int, default=None,
                     help="default: 256 (caption families) / 64 (dense)")
     ap.add_argument("--epochs", type=int, default=30)
@@ -219,6 +227,8 @@ def main(argv=None):
     if args.images is None:
         args.images = 256
 
+    import numpy as np
+
     from imagecaptioning_tpu.config import get_config
     from imagecaptioning_tpu.train.driver import train
     from imagecaptioning_tpu.utils.visualize import display_logs
@@ -230,31 +240,96 @@ def main(argv=None):
     arrays, _ = make_learnable_face2text_arrays(num_images=args.images,
                                                 seed=123)
     n_train = int((arrays["split"] == 0).sum())
+
+    def base_cfg(tag):
+        return get_config(args.model).replace(
+            data_h5="/nonexistent",               # force synthetic
+            from_checkpoint=False,
+            batch_size=args.batch_size,
+            # reference convention: save_checkpoint_every = train-set
+            # size (LSTM_opts.py), making one "epoch" one data pass
+            save_checkpoint_every=n_train,
+            num_epochs=args.epochs,
+            learning_rate=args.lr,
+            use_scheduler=True,
+            clip_grad=True,
+            use_dropout=False,
+            finetuning_after_nepoch=1,
+            compute_dtype="float32",              # CPU evidence run
+            # CPU-sized ResNet trunk; architecture and driver identical
+            # to the full-depth config, only block counts shrink
+            backbone_stages=(1, 1, 1, 1),
+            eval_val_batch_size=args.batch_size,
+            use_beam=True, beam_size=3,
+            loss_file=os.path.join(args.out, f"loss_history_{tag}.json"),
+            result_file=os.path.join(args.out,
+                                     f"results_history_{tag}.json"),
+            save_path=os.path.join(args.out, f"best_model_{tag}.ckpt"),
+        )
+
+    def finish(cfg, tag, summary):
+        with open(cfg.result_file) as f:
+            results_history = json.load(f)
+        png = display_logs(results_history, tag, out_dir=args.out)
+        vis = None
+        if args.model in ("lstm_attention", "vitb"):
+            # per-word attention overlays from a held-out image — the
+            # reference's generate_vis.py artifact (committed to
+            # AlexCap/data/vis_results/)
+            try:
+                vis = _attention_vis(summary, args.out, tag)
+            except Exception as e:                 # viz is best-effort
+                print(f"attention vis skipped: {e}")
+        printable = {k: v for k, v in summary.items()
+                     if k not in ("state", "model", "loader")}
+        with open(os.path.join(args.out, f"summary_{tag}.json"),
+                  "w") as f:
+            json.dump(printable, f, indent=1, default=str)
+        print(json.dumps({"tag": tag,
+                          "best_val_meteor": summary.get("best_val_score"),
+                          "final_test": printable.get("final_test"),
+                          "curves": png, "vis": vis}, default=str))
+        return summary
+
+    if args.model == "vitb":
+        from imagecaptioning_tpu.utils.checkpoint import restore_checkpoint
+        from imagecaptioning_tpu.utils.pretrained import flatten_tree
+
+        # CPU-sized ViT (224-px input, 32-px patches → 7×7 grid + class
+        # token); architecture and driver identical to the real
+        # ViT-B/16 config, only dims shrink (backbone_stages precedent)
+        dims = dict(vit_dims=(224, 32, 2, 4, 32, 64), embedding_size=32,
+                    num_layers=2, num_heads=4)
+        # 1) from scratch — the reference's ViTB_drop0.1 config
+        #    (trained_encoder=False: everything trains from step 0,
+        #    train_ViTB.py has no finetune toggle)
+        tag_s = f"vitb_scratch_learnable_bs{args.batch_size}"
+        cfg_s = base_cfg(tag_s).replace(trained_encoder=False,
+                                        finetuning_after_nepoch=0, **dims)
+        summary = finish(cfg_s, tag_s,
+                         train(cfg_s, synthetic_learnable=True,
+                               synthetic_images=args.images))
+        # 2) pretrained-frozen — the reference's flagship
+        #    emb_ViTB_pretrained config: encoder frozen at construction
+        #    (VitbModel.py:162-166), initialized from run 1's BEST
+        #    encoder via encoder_init (the offline stand-in for the
+        #    IMAGENET1K_V1 download; exercises the real pretrained
+        #    wiring end to end)
+        state = summary["state"]
+        if os.path.isdir(cfg_s.save_path):
+            state, _ = restore_checkpoint(cfg_s.save_path, state)
+        npz = os.path.join(args.out, "vitb_encoder_pretrained.npz")
+        flat = flatten_tree({"params": state.params["encoder_vit"]})
+        np.savez(npz, **{k: np.asarray(v) for k, v in flat.items()})
+        tag_p = f"vitb_pretrained_learnable_bs{args.batch_size}"
+        cfg_p = base_cfg(tag_p).replace(trained_encoder=True,
+                                        encoder_init=npz, **dims)
+        finish(cfg_p, tag_p, train(cfg_p, synthetic_learnable=True,
+                                   synthetic_images=args.images))
+        return
+
     tag = f"{args.model}_learnable_bs{args.batch_size}"
-    cfg = get_config(args.model).replace(
-        data_h5="/nonexistent",               # force synthetic
-        from_checkpoint=False,
-        batch_size=args.batch_size,
-        # reference convention: save_checkpoint_every = train-set size
-        # (LSTM_opts.py), making one "epoch" one pass over the data
-        save_checkpoint_every=n_train,
-        num_epochs=args.epochs,
-        learning_rate=args.lr,
-        use_scheduler=True,
-        clip_grad=True,
-        use_dropout=False,
-        finetuning_after_nepoch=1,
-        compute_dtype="float32",              # CPU evidence run
-        # CPU-sized ResNet trunk; architecture and driver identical to
-        # the full-depth config, only block counts shrink
-        backbone_stages=(1, 1, 1, 1),
-        eval_val_batch_size=args.batch_size,
-        use_beam=True, beam_size=3,
-        loss_file=os.path.join(args.out, f"loss_history_{tag}.json"),
-        result_file=os.path.join(args.out,
-                                 f"results_history_{tag}.json"),
-        save_path=os.path.join(args.out, f"best_model_{tag}.ckpt"),
-    )
+    cfg = base_cfg(tag)
     if args.model == "transformer":
         # CPU-sized dims (same architecture). The full 512-d/6-layer
         # config inherits the reference's embed_size**0.5 attention
@@ -265,30 +340,8 @@ def main(argv=None):
         cfg = cfg.replace(transformer_size=128, num_layers=2,
                           num_heads=4)
 
-    summary = train(cfg, synthetic_learnable=True,
-                    synthetic_images=args.images)
-
-    with open(cfg.result_file) as f:
-        results_history = json.load(f)
-    png = display_logs(results_history, tag, out_dir=args.out)
-
-    vis = None
-    if args.model == "lstm_attention":
-        # per-word attention overlays from a held-out image — the
-        # reference's generate_vis.py artifact (committed to
-        # AlexCap/data/vis_results/)
-        try:
-            vis = _attention_vis(summary, args.out, tag)
-        except Exception as e:                     # viz is best-effort
-            print(f"attention vis skipped: {e}")
-
-    printable = {k: v for k, v in summary.items()
-                 if k not in ("state", "model", "loader")}
-    with open(os.path.join(args.out, f"summary_{tag}.json"), "w") as f:
-        json.dump(printable, f, indent=1, default=str)
-    print(json.dumps({"best_val_meteor": summary.get("best_val_score"),
-                      "final_test": printable.get("final_test"),
-                      "curves": png}, default=str))
+    finish(cfg, tag, train(cfg, synthetic_learnable=True,
+                           synthetic_images=args.images))
 
 
 if __name__ == "__main__":

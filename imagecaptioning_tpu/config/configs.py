@@ -95,6 +95,11 @@ class CaptionConfig:
     # full VGG16). Smaller tuples shrink the trunk for CPU evidence
     # runs and tests (same precedent as DenseConfig.vgg_stages).
     backbone_stages: tuple = ()
+    # ViT encoder dims override for the vitb family:
+    # (image_size, patch, layers, heads, hidden, mlp); () = the real
+    # ViT-B/16 (224, 16, 12, 12, 768, 3072). Same CPU-sizing precedent
+    # as backbone_stages.
+    vit_dims: tuple = ()
     # Pretrained encoder weights merged into init params (the reference
     # loads torchvision weights at construction, LSTMModel.py:18-27).
     # 'path.npz' or 'module=path.npz,...'; see utils/pretrained.py.
