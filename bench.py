@@ -453,6 +453,84 @@ def bench_input(args):
     }, args, device_meta=False)
 
 
+def bench_e2e(args):
+    """Sustained END-TO-END training throughput: the real host input
+    path (RAM-cached uint8 store → AlexDataLoader epoch batches → C++
+    fastloader gather → background prefetch thread → device_put) feeds
+    the SAME donated train step as --metric train, one fresh host batch
+    per step. One number proving the input pipeline keeps the device
+    fed — the reference's step time includes its loader
+    (train_LSTM.py:77-90), and the device-only metric alone can't show
+    the loader never bottlenecks."""
+    import jax
+    import jax.numpy as jnp
+
+    from imagecaptioning_tpu.data import synthetic, transforms
+    from imagecaptioning_tpu.data.loader import (AlexDataLoader,
+                                                 prefetch_batches)
+    from imagecaptioning_tpu.train import optim, step as steplib
+
+    fam = _family_table()[args.family]
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    b = args.batch_size
+    phase("building synthetic store")
+    arrays, info = synthetic.make_face2text_arrays(
+        num_images=args.input_images, seed=0)
+    loader = AlexDataLoader(arrays=arrays, info=info)
+    if len(loader.split_ix[0]) < b:
+        raise SystemExit(
+            f"--input-images {args.input_images} leaves a train split "
+            f"< batch size {b}; raise --input-images")
+    v, t = loader.getVocabSize(), loader.getSeqLength()
+    phase(f"building {args.family} model (bs={b}, vocab={v})")
+    model = fam["make"](v, t, dtype)
+    cfg = fam["cfg"]().replace(batch_size=b)
+    tx = optim.make_optimizer(cfg, total_steps=10_000,
+                              finetune_start_step=1_000_000)
+
+    def preprocess(u8):
+        return transforms.resnet_v2_preprocess(u8, dtype=dtype)
+
+    imgs0, gt0 = next(loader.epoch_batches(0, b))
+    phase("init params on device")
+    state, _ = steplib.create_train_state(model, tx,
+                                          preprocess(jnp.asarray(imgs0)),
+                                          jnp.asarray(gt0))
+    step_fn = steplib.make_train_step(model, tx, preprocess=preprocess)
+    train_one = jax.jit(step_fn, donate_argnums=(0,))
+
+    def epochs():
+        while True:
+            yield from loader.epoch_batches(0, b)
+
+    it = prefetch_batches(epochs(), size=4)   # host thread + device_put
+
+    # Steps chain through the donated TrainState; dispatches run ahead
+    # of the device while the prefetch thread keeps producing — the
+    # production overlap. One real host readback per measured window.
+    box = {"state": state, "loss": None}
+    phase("compile: e2e train step")
+
+    def call():
+        images, gt = next(it)
+        box["state"], metrics = train_one(box["state"], images, gt)
+        box["loss"] = metrics["loss"]
+
+    def sync():
+        float(box["loss"])
+
+    items, dt = measure_chained(call, sync, b, args)
+    img_per_sec = items / dt
+    baseline = fam["baseline"]
+    emit({
+        "metric": fam["metric"].replace("_train_", "_e2e_train_"),
+        "value": round(img_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": (round(img_per_sec / baseline, 3)
+                        if baseline else None),
+    }, args)
+
+
 # Per-family definitions: model factory, default batch, metric name +
 # baseline from FAMILY_METRICS.
 def _family_table():
@@ -685,10 +763,10 @@ def main():
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--metric",
                     choices=["train", "decode", "dense", "dense-decode",
-                             "input"],
+                             "input", "e2e"],
                     default="train")
     ap.add_argument("--input-images", type=int, default=2048,
-                    help="input metric: synthetic store size")
+                    help="input/e2e metrics: synthetic store size")
     ap.add_argument("--max-regions", type=int, default=32)
     ap.add_argument("--pallas-roi", action="store_true",
                     help="dense metric: explicit Pallas ROI kernel "
@@ -740,6 +818,12 @@ def main():
                            if args.metric == "decode" else fam["batch"])
     if args.metric == "decode":
         return bench_decode(args)
+    if args.metric == "e2e":
+        if args.input_images < 16 * args.batch_size:
+            # the store must be big enough that gathers don't all hit
+            # one cache line — and leave a real train split
+            args.input_images = 16 * args.batch_size
+        return bench_e2e(args)
     return bench_train(args)
 
 
