@@ -83,3 +83,35 @@ def test_build_model_honors_backbone_stages():
     # () keeps the family default (ResNet-101)
     model = build_model(get_lstm_config(), 16, 5)
     assert model.backbone_stages == (3, 4, 23, 3)
+
+
+def test_build_model_honors_vit_dims_and_patch_override():
+    from imagecaptioning_tpu.config import get_config
+    from imagecaptioning_tpu.models.captioners import build_model
+
+    cfg = get_config("vitb").replace(
+        vit_dims=(224, 32, 2, 4, 32, 64), embedding_size=32,
+        num_layers=2, num_heads=4)
+    model = build_model(cfg, vocab_size=16, seq_length=5)
+    assert (model.image_size, model.vit_patch) == (224, 32)
+    assert (model.vit_layers, model.vit_heads) == (2, 4)
+    assert (model.vit_hidden, model.vit_mlp) == (32, 64)
+    # () keeps the real ViT-B/16 encoder
+    model = build_model(get_config("vitb"), 16, 5)
+    assert (model.vit_layers, model.vit_hidden) == (12, 768)
+
+    # patch_size_override reaches the encoder's learned position table
+    # (its length is patch_size**2); 0 would derive 14 from use_vggface
+    import jax
+    import jax.numpy as jnp
+
+    from imagecaptioning_tpu.models.captioners import TransformerCaptioner
+    m = TransformerCaptioner(vocab_size=16, max_length=5, embed_size=8,
+                             num_layers=1, heads=1, use_vggface=True,
+                             patch_size_override=2)
+    variables = jax.eval_shape(
+        lambda: m.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 32, 32, 3), jnp.float32),
+                       jnp.ones((1, 5), jnp.int32), train=False))
+    pos = variables["params"]["encoder"]["position_embedding"]
+    assert pos.shape == (4, 8), pos.shape
