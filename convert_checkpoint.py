@@ -7,9 +7,17 @@ for torch-free hosts) → a .npz of the flax variables used by
 loadable by the reference's torch models ("same checkpoints" —
 BASELINE.json).
 
+Full trained models: `import-model` converts a reference training
+checkpoint (`torch.save(model.state_dict(), ...)`, train_LSTM.py:122-125
+— any of the four AlexCap families, either CNN encoder or the ViT) into
+an orbax checkpoint directory that `infer.py --ckpt` and
+`utils.checkpoint.restore_params` load directly. The family and
+architecture dims are inferred from the state_dict and printed.
+
 Usage:
   python convert_checkpoint.py import --arch resnet101 --src r101.pth --dst r101_flax.npz
   python convert_checkpoint.py export --arch vit_b_16 --src run_params.npz --dst vit_torch.pth
+  python convert_checkpoint.py import-model --src best_model_LSTM_resnet_ft6_bs12_clip.pth --dst ckpt_lstm
 """
 
 from __future__ import annotations
@@ -60,6 +68,20 @@ def do_export(arch: str, src: str, dst: str) -> None:
     print(f"wrote {dst} ({len(sd)} tensors)")
 
 
+def do_import_model(src: str, dst: str, family: str,
+                    vit_heads: int) -> dict:
+    from imagecaptioning_tpu.utils.checkpoint import save_checkpoint
+
+    sd = tp.load_state_dict(src)
+    variables, meta = tp.convert_reference_captioner(sd, family=family,
+                                                     vit_heads=vit_heads)
+    save_checkpoint(dst, {"params": variables["params"],
+                          "batch_stats": variables["batch_stats"]})
+    import json
+    print(json.dumps({"wrote": dst, **meta}))
+    return meta
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -68,8 +90,23 @@ def main(argv=None):
         sp.add_argument("--arch", choices=ARCHS, required=True)
         sp.add_argument("--src", required=True)
         sp.add_argument("--dst", required=True)
+    sp = sub.add_parser("import-model",
+                        help="full reference model.state_dict() → orbax "
+                             "checkpoint dir for infer.py")
+    sp.add_argument("--src", required=True)
+    sp.add_argument("--dst", required=True)
+    sp.add_argument("--family", default="auto",
+                    choices=["auto", "lstm", "attention", "transformer",
+                             "vitb"])
+    sp.add_argument("--vit-heads", type=int, default=12,
+                    help="ViT encoder head count (not recoverable from "
+                         "the fused in_proj shapes)")
     a = p.parse_args(argv)
-    (do_import if a.cmd == "import" else do_export)(a.arch, a.src, a.dst)
+    if a.cmd == "import-model":
+        do_import_model(a.src, a.dst, a.family, a.vit_heads)
+    else:
+        (do_import if a.cmd == "import" else do_export)(a.arch, a.src,
+                                                        a.dst)
 
 
 if __name__ == "__main__":

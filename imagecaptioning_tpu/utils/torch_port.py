@@ -128,17 +128,19 @@ def convert_reference_lstm_head(sd: Mapping, prefix: str = "",
 _RESNET_STAGES = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
 
 
-def convert_resnet(sd: Mapping, depth: int = 101) -> Dict:
+def convert_resnet(sd: Mapping, depth: int = 101,
+                   stages: Tuple[int, ...] = None) -> Dict:
     """torchvision resnet{depth} state_dict → ResNetFeatures variables
     {'params': ..., 'batch_stats': ...}. Classifier (fc.*) is ignored —
-    the reference drops it too."""
+    the reference drops it too. `stages` overrides the per-stage block
+    counts (shrunk test models; matches ResNetFeatures(stage_sizes=...))."""
     params: Dict = {}
     stats: Dict = {}
 
     params["conv1"] = convert_conv(sd, "conv1")
     params["bn1"], stats["bn1"] = convert_bn(sd, "bn1")
 
-    for stage, blocks in enumerate(_RESNET_STAGES[depth]):
+    for stage, blocks in enumerate(stages or _RESNET_STAGES[depth]):
         for b in range(blocks):
             t = f"layer{stage + 1}.{b}"
             name = f"layer{stage + 1}_{b}"
@@ -331,6 +333,181 @@ def convert_reference_vitb_decoder(sd: Mapping, num_layers: int,
             "transformer_block": block(f"layers.{i}.transformer_block"),
         }
     return dec
+
+
+# ------------------------------------- full reference model checkpoints
+
+def convert_reference_attention_head(sd: Mapping,
+                                     prefix: str = "llm.") -> Dict:
+    """Reference Show-Attend-Tell Decoder state_dict slice
+    (`AlexCap/AttentionLanguageModule.py`, stored as `llm.` inside
+    `LSTMwAttentionModel.AlexCapModel`) → our AttentionHead param tree.
+    Same linear transpose maps as the other head converters, so it
+    ports weights and per-parameter gradients alike."""
+    s = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    lin = lambda p: {"kernel": _np(s[f"{p}.weight"]).T,
+                     "bias": _np(s[f"{p}.bias"])}
+    return {
+        "init_h": lin("init_h"),
+        "init_c": lin("init_c"),
+        "embedding": {"embedding": _np(s["embedding.weight"])},
+        "att_W_kernel": _np(s["attention.W.weight"]).T,
+        "att_W_bias": _np(s["attention.W.bias"]),
+        "att_U_kernel": _np(s["attention.U.weight"]).T,
+        "att_U_bias": _np(s["attention.U.bias"]),
+        "att_v_kernel": _np(s["attention.v.weight"]).T,
+        "att_v_bias": _np(s["attention.v.bias"]),
+        "f_beta_kernel": _np(s["f_beta.weight"]).T,
+        "f_beta_bias": _np(s["f_beta.bias"]),
+        "deep_output_kernel": _np(s["deep_output.weight"]).T,
+        "deep_output_bias": _np(s["deep_output.bias"]),
+        "cell_w_ih": _np(s["lstm.weight_ih"]),
+        "cell_w_hh": _np(s["lstm.weight_hh"]),
+        "cell_b_ih": _np(s["lstm.bias_ih"]),
+        "cell_b_hh": _np(s["lstm.bias_hh"]),
+    }
+
+
+# nn.Sequential(*resnet.children())[:-2] (LSTMModel.py:26-27) renumbers
+# the resnet stages; relu(2)/maxpool(3) hold no params.
+_SEQ_RESNET_MAP = {"0": "conv1", "1": "bn1", "4": "layer1",
+                   "5": "layer2", "6": "layer3", "7": "layer4"}
+_LAYER3_DEPTH = {6: 50, 23: 101, 36: 152}
+
+
+def convert_sequential_resnet(
+        sd: Mapping,
+        prefix: str = "features.") -> Tuple[Dict, Tuple[int, ...]]:
+    """Reference resnet encoder slice — `nn.Sequential(*children[:-2])`
+    numbers the stages 0..7 — remapped back to torchvision names and
+    run through `convert_resnet`. Returns (variables, stage sizes
+    inferred from the block indices; (3,4,23,3) for a real resnet101)."""
+    remapped = {}
+    for k, v in sd.items():
+        if not k.startswith(prefix):
+            continue
+        head, _, tail = k[len(prefix):].partition(".")
+        if head in _SEQ_RESNET_MAP:
+            remapped[f"{_SEQ_RESNET_MAP[head]}.{tail}"] = v
+    stages = tuple(
+        len({k.split(".")[1] for k in remapped
+             if k.startswith(f"layer{s}.")}) for s in (1, 2, 3, 4))
+    return convert_resnet(remapped, stages=stages), stages
+
+
+def detect_reference_family(sd: Mapping) -> str:
+    """Which AlexCap family saved this `model.state_dict()`? The four
+    families have disjoint key roots (LSTMModel/LSTMwAttentionModel/
+    TransformerModel store the decoder as `llm.`; VitbModel stores the
+    torchvision ViT pieces as `proj`/`class_token`/`encoder` plus its
+    own `decoder`, VitbModel.py:159-168)."""
+    if any(k.startswith("proj.") for k in sd) and "class_token" in sd:
+        return "vitb"
+    if any(k.startswith("llm.encoder.position_embedding") for k in sd):
+        return "transformer"
+    if "llm.attention.W.weight" in sd:
+        return "attention"
+    if "llm.lstm.weight_ih_l0" in sd:
+        return "lstm"
+    raise ValueError(
+        "unrecognized checkpoint: expected the state_dict of one of the "
+        "reference's four AlexCap model families")
+
+
+def _layer_count(keys, pattern: str) -> int:
+    import re
+    found = {int(m.group(1)) for k in keys
+             for m in [re.match(pattern, k)] if m}
+    return max(found) + 1 if found else 0
+
+
+def convert_reference_captioner(sd: Mapping, family: str = "auto",
+                                vit_heads: int = 12) -> Tuple[Dict, Dict]:
+    """A full trained reference checkpoint (`model.state_dict()` as
+    saved by `train_*.py:122-125`) → our captioner variables
+    {'params', 'batch_stats'} plus a meta dict of the inferred
+    architecture (what to pass to the matching *Captioner / config).
+
+    Covers all four AlexCap families and both CNN encoders: the
+    vggface VGG trunk keeps torchvision's `features.N` numbering, the
+    resnet trunk comes via `convert_sequential_resnet`, and VitbModel's
+    `proj.*` is torchvision's `conv_proj.*` renamed (VitbModel.py:159).
+    """
+    if family == "auto":
+        family = detect_reference_family(sd)
+    meta: Dict = {"family": family}
+
+    if family == "vitb":
+        sd2 = {("conv_proj." + k[len("proj."):] if k.startswith("proj.")
+                else k): v for k, v in sd.items()}
+        hidden = int(_np(sd["class_token"]).shape[-1])
+        n_enc = _layer_count(sd2, r"encoder\.layers\.encoder_layer_(\d+)\.")
+        n_dec = _layer_count(sd2, r"decoder\.layers\.(\d+)\.")
+        emb = int(_np(sd["decoder.word_embedding.weight"]).shape[-1])
+        patch = int(_np(sd["proj.weight"]).shape[-1])
+        n_tokens = int(_np(sd["encoder.pos_embedding"]).shape[1])
+        image_size = int(round((n_tokens - 1) ** 0.5)) * patch
+        params = {
+            "encoder_vit": convert_vit(sd2, num_layers=n_enc,
+                                       num_heads=vit_heads,
+                                       hidden=hidden)["params"],
+            "decoder": convert_reference_vitb_decoder(sd2,
+                                                      num_layers=n_dec),
+        }
+        meta.update(
+            vocab_size=int(_np(sd["decoder.word_embedding.weight"])
+                           .shape[0]) - 3,
+            embedding_size=emb, num_layers=n_dec, vit_encoder_layers=n_enc,
+            vit_hidden=hidden, vit_heads=vit_heads, patch_size=patch,
+            image_size=image_size)
+        return {"params": params, "batch_stats": {}}, meta
+
+    # CNN-encoder families: resnet's stem conv is 7x7, vgg's is 3x3
+    use_vggface = int(_np(sd["features.0.weight"]).shape[-1]) == 3
+    batch_stats: Dict = {}
+    if use_vggface:
+        enc_params = convert_vgg_features(sd, prefix="features")["params"]
+        meta["encoder"] = "vggface"
+    else:
+        enc_vars, stages = convert_sequential_resnet(sd)
+        enc_params = enc_vars["params"]
+        batch_stats["features"] = enc_vars["batch_stats"]
+        depth = _LAYER3_DEPTH.get(stages[2])
+        meta["encoder"] = f"resnet{depth}" if depth else "resnet-custom"
+        meta["backbone_stages"] = stages
+
+    if family == "transformer":
+        llm_sd = {k[len("llm."):]: v for k, v in sd.items()
+                  if k.startswith("llm.")}
+        n = _layer_count(llm_sd, r"encoder\.layers\.(\d+)\.")
+        params = {"features": enc_params,
+                  **convert_reference_transformer(llm_sd, num_layers=n)}
+        meta.update(
+            vocab_size=int(_np(llm_sd["decoder.word_embedding.weight"])
+                           .shape[0]) - 3,
+            embed_size=int(_np(llm_sd["decoder.word_embedding.weight"])
+                           .shape[-1]),
+            num_layers=n)
+    elif family == "attention":
+        head = convert_reference_attention_head(sd)
+        params = {"features": enc_params, "llm": head}
+        meta.update(vocab_size=int(head["embedding"]["embedding"]
+                                   .shape[0]) - 3,
+                    embedding_size=int(head["embedding"]["embedding"]
+                                       .shape[-1]),
+                    rnn_size=int(head["cell_w_hh"].shape[-1]))
+    else:                                                      # lstm
+        n = _layer_count(sd, r"llm\.lstm\.weight_ih_l(\d+)")
+        head = convert_reference_lstm_head(sd, prefix="llm.",
+                                           num_layers=n)
+        params = {"features": enc_params, "llm": head}
+        meta.update(vocab_size=int(head["lookup_table"]["embedding"]
+                                   .shape[0]) - 3,
+                    embedding_size=int(head["lookup_table"]["embedding"]
+                                       .shape[-1]),
+                    rnn_size=int(head["lstm"]["w_hh_l0"].shape[-1]),
+                    num_layers=n)
+    return {"params": params, "batch_stats": batch_stats}, meta
 
 
 # ------------------------------------------------- reverse (flax → torch)

@@ -450,33 +450,6 @@ def _run_torch_vitb(data, batches, lr, wd, seq_length, init_sd=None):
 
 # -------------------------------------------------------------- jax side
 
-def _attention_head_map(sd, prefix="llm."):
-    """Reference Show-Attend-Tell Decoder state_dict slice → our
-    AttentionHead param tree (same map the differential tests pin)."""
-    s = {k[len(prefix):]: np.asarray(v) for k, v in sd.items()
-         if k.startswith(prefix)}
-    lin = lambda p: {"kernel": s[f"{p}.weight"].T, "bias": s[f"{p}.bias"]}
-    return {
-        "init_h": lin("init_h"),
-        "init_c": lin("init_c"),
-        "embedding": {"embedding": s["embedding.weight"]},
-        "att_W_kernel": s["attention.W.weight"].T,
-        "att_W_bias": s["attention.W.bias"],
-        "att_U_kernel": s["attention.U.weight"].T,
-        "att_U_bias": s["attention.U.bias"],
-        "att_v_kernel": s["attention.v.weight"].T,
-        "att_v_bias": s["attention.v.bias"],
-        "f_beta_kernel": s["f_beta.weight"].T,
-        "f_beta_bias": s["f_beta.bias"],
-        "deep_output_kernel": s["deep_output.weight"].T,
-        "deep_output_bias": s["deep_output.bias"],
-        "cell_w_ih": s["lstm.weight_ih"],
-        "cell_w_hh": s["lstm.weight_hh"],
-        "cell_b_ih": s["lstm.bias_ih"],
-        "cell_b_hh": s["lstm.bias_hh"],
-    }
-
-
 def port_params(sd, family="lstm"):
     """torch state_dict → our captioner param tree (the converters are
     the round-trip-tested utils/torch_port maps)."""
@@ -498,7 +471,8 @@ def port_params(sd, family="lstm"):
             **tp.convert_reference_transformer(llm_sd, num_layers=2),
         }
     else:
-        head = (_attention_head_map(sd) if family == "attention"
+        head = (tp.convert_reference_attention_head(sd)
+                if family == "attention"
                 else tp.convert_reference_lstm_head(sd, prefix="llm."))
         params = {
             "features": tp.convert_vgg_features(sd)["params"],
