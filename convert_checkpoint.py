@@ -82,6 +82,31 @@ def do_import_model(src: str, dst: str, family: str,
     return meta
 
 
+def _load_variables(src: str) -> dict:
+    """Checkpoint dir (orbax) or .npz of flattened variables →
+    {'params', 'batch_stats'}."""
+    import os
+    if os.path.isdir(src):
+        from imagecaptioning_tpu.utils.checkpoint import restore_params
+        params, batch_stats = restore_params(src)
+        return {"params": params, "batch_stats": batch_stats}
+    with np.load(src) as z:
+        tree = _unflatten({k: z[k] for k in z.files})
+    if "params" not in tree:          # bare param tree
+        tree = {"params": tree}
+    tree.setdefault("batch_stats", {})
+    return tree
+
+
+def do_export_model(src: str, dst: str, family: str) -> dict:
+    sd, meta = tp.export_reference_captioner(_load_variables(src),
+                                             family=family)
+    tp.save_state_dict(dst, sd)
+    import json
+    print(json.dumps({"wrote": dst, "tensors": len(sd), **meta}))
+    return meta
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -101,9 +126,23 @@ def main(argv=None):
     sp.add_argument("--vit-heads", type=int, default=12,
                     help="ViT encoder head count (not recoverable from "
                          "the fused in_proj shapes)")
+    sp = sub.add_parser("export-model",
+                        help="our trained captioner checkpoint → a "
+                             "state_dict the reference's torch model "
+                             "loads (.pth, or .npz for torch-free hosts)")
+    sp.add_argument("--src", required=True,
+                    help="orbax checkpoint dir (train driver / "
+                         "import-model output) or flattened-variables "
+                         ".npz")
+    sp.add_argument("--dst", required=True)
+    sp.add_argument("--family", default="auto",
+                    choices=["auto", "lstm", "attention", "transformer",
+                             "vitb"])
     a = p.parse_args(argv)
     if a.cmd == "import-model":
         do_import_model(a.src, a.dst, a.family, a.vit_heads)
+    elif a.cmd == "export-model":
+        do_export_model(a.src, a.dst, a.family)
     else:
         (do_import if a.cmd == "import" else do_export)(a.arch, a.src,
                                                         a.dst)

@@ -539,21 +539,28 @@ def export_linear(block: Mapping, prefix: str) -> Dict:
 
 
 def export_bn(params: Mapping, stats: Mapping, prefix: str) -> Dict:
+    # num_batches_tracked is a torch-side step counter with no flax
+    # equivalent; emit 0 so strict load_state_dict accepts the export
+    # (it only matters for momentum=None BN, which torchvision never
+    # uses).
     return {f"{prefix}.weight": np.asarray(params["scale"]),
             f"{prefix}.bias": np.asarray(params["bias"]),
             f"{prefix}.running_mean": np.asarray(stats["mean"]),
-            f"{prefix}.running_var": np.asarray(stats["var"])}
+            f"{prefix}.running_var": np.asarray(stats["var"]),
+            f"{prefix}.num_batches_tracked": np.asarray(0, np.int64)}
 
 
-def export_resnet(variables: Mapping, depth: int = 101) -> Dict:
+def export_resnet(variables: Mapping, depth: int = 101,
+                  stages: Tuple[int, ...] = None) -> Dict:
     """ResNetFeatures variables → torchvision resnet{depth} state_dict
     (tensor layout; no fc.* — the reference drops the classifier). The
-    exact inverse of `convert_resnet`, so checkpoints round-trip."""
+    exact inverse of `convert_resnet`, so checkpoints round-trip.
+    `stages` overrides the per-stage block counts (shrunk models)."""
     params, stats = variables["params"], variables["batch_stats"]
     sd: Dict = {}
     sd.update(export_conv(params["conv1"], "conv1"))
     sd.update(export_bn(params["bn1"], stats["bn1"], "bn1"))
-    for stage, blocks in enumerate(_RESNET_STAGES[depth]):
+    for stage, blocks in enumerate(stages or _RESNET_STAGES[depth]):
         for b in range(blocks):
             t = f"layer{stage + 1}.{b}"
             name = f"layer{stage + 1}_{b}"
@@ -644,6 +651,192 @@ def export_lstm(params: Mapping, prefix: str, num_layers: int = 1) -> Dict:
         sd[f"{prefix}.bias_ih_l{l}"] = np.asarray(params[f"b_ih_l{l}"])
         sd[f"{prefix}.bias_hh_l{l}"] = np.asarray(params[f"b_hh_l{l}"])
     return sd
+
+
+def export_norm(block: Mapping, prefix: str) -> Dict:
+    return {f"{prefix}.weight": np.asarray(block["scale"]),
+            f"{prefix}.bias": np.asarray(block["bias"])}
+
+
+def export_embedding(block: Mapping, prefix: str) -> Dict:
+    return {f"{prefix}.weight": np.asarray(block["embedding"])}
+
+
+# ---------------------------------- full reference models (flax → torch)
+
+def export_reference_lstm_head(head: Mapping, prefix: str = "llm.") -> Dict:
+    """Inverse of `convert_reference_lstm_head`: our LanguageHead params
+    → the reference LanguageModule's state_dict keys."""
+    n = sum(1 for k in head["lstm"] if k.startswith("w_ih_l"))
+    sd: Dict = {}
+    sd.update(export_linear(head["image_encoder"],
+                            f"{prefix}image_encoder.encode"))
+    sd.update(export_embedding(head["lookup_table"],
+                               f"{prefix}lookup_table"))
+    sd.update(export_lstm(head["lstm"], f"{prefix}lstm", num_layers=n))
+    sd.update(export_linear(head["linear"], f"{prefix}rnn.linear"))
+    return sd
+
+
+def export_reference_attention_head(head: Mapping,
+                                    prefix: str = "llm.") -> Dict:
+    """Inverse of `convert_reference_attention_head` (the reference
+    Show-Attend-Tell Decoder's state_dict keys)."""
+    sd: Dict = {}
+    sd.update(export_linear(head["init_h"], f"{prefix}init_h"))
+    sd.update(export_linear(head["init_c"], f"{prefix}init_c"))
+    sd.update(export_embedding(head["embedding"], f"{prefix}embedding"))
+    for torch_name, ours in (("attention.W", "att_W"),
+                             ("attention.U", "att_U"),
+                             ("attention.v", "att_v"),
+                             ("f_beta", "f_beta"),
+                             ("deep_output", "deep_output")):
+        sd[f"{prefix}{torch_name}.weight"] = np.asarray(
+            head[f"{ours}_kernel"]).T
+        sd[f"{prefix}{torch_name}.bias"] = np.asarray(head[f"{ours}_bias"])
+    for torch_k, ours_k in (("weight_ih", "cell_w_ih"),
+                            ("weight_hh", "cell_w_hh"),
+                            ("bias_ih", "cell_b_ih"),
+                            ("bias_hh", "cell_b_hh")):
+        sd[f"{prefix}lstm.{torch_k}"] = np.asarray(head[ours_k])
+    return sd
+
+
+def _export_transformer_block(block: Mapping, prefix: str) -> Dict:
+    sd: Dict = {}
+    for k in ("values", "keys", "queries", "fc_out"):
+        sd.update(export_linear(block["attention"][k],
+                                f"{prefix}.attention.{k}"))
+    sd.update(export_norm(block["norm1"], f"{prefix}.norm1"))
+    sd.update(export_norm(block["norm2"], f"{prefix}.norm2"))
+    sd.update(export_linear(block["ff1"], f"{prefix}.feed_forward.0"))
+    sd.update(export_linear(block["ff2"], f"{prefix}.feed_forward.2"))
+    return sd
+
+
+def _export_transformer_decoder(dec: Mapping, prefix: str) -> Dict:
+    sd: Dict = {}
+    sd.update(export_embedding(dec["word_embedding"],
+                               f"{prefix}word_embedding"))
+    sd[f"{prefix}position_embedding.weight"] = np.asarray(
+        dec["position_embedding"])
+    sd.update(export_linear(dec["fc_out"], f"{prefix}fc_out"))
+    n = sum(1 for k in dec if str(k).startswith("layer_"))
+    for i in range(n):
+        lp = dec[f"layer_{i}"]
+        t = f"{prefix}layers.{i}"
+        sd.update(export_norm(lp["norm"], f"{t}.norm"))
+        for k in ("values", "keys", "queries", "fc_out"):
+            sd.update(export_linear(lp["attention"][k],
+                                    f"{t}.attention.{k}"))
+        sd.update(_export_transformer_block(lp["transformer_block"],
+                                            f"{t}.transformer_block"))
+    return sd
+
+
+def export_reference_transformer(tree: Mapping,
+                                 prefix: str = "") -> Dict:
+    """Inverse of `convert_reference_transformer`: our {fc, encoder,
+    decoder} param trees → the reference Transformer's state_dict."""
+    sd: Dict = {}
+    sd.update(export_linear(tree["fc"], f"{prefix}fc.0"))
+    enc = tree["encoder"]
+    sd[f"{prefix}encoder.position_embedding.weight"] = np.asarray(
+        enc["position_embedding"])
+    n = sum(1 for k in enc if str(k).startswith("layer_"))
+    for i in range(n):
+        sd.update(_export_transformer_block(
+            enc[f"layer_{i}"], f"{prefix}encoder.layers.{i}"))
+    sd.update(_export_transformer_decoder(tree["decoder"],
+                                          f"{prefix}decoder."))
+    return sd
+
+
+def export_reference_vitb_decoder(dec: Mapping,
+                                  prefix: str = "decoder.") -> Dict:
+    """Inverse of `convert_reference_vitb_decoder`."""
+    return _export_transformer_decoder(dec, prefix)
+
+
+def export_sequential_resnet(variables: Mapping,
+                             prefix: str = "features.") -> Dict:
+    """Inverse of `convert_sequential_resnet`: torchvision-named export
+    renumbered back to the reference's `nn.Sequential(*children[:-2])`
+    scheme. Stage sizes are read off the param tree."""
+    params = variables["params"]
+    stages = tuple(
+        sum(1 for k in params if str(k).startswith(f"layer{s}_"))
+        for s in (1, 2, 3, 4))
+    tv = export_resnet(variables, stages=stages)
+    inverse = {v: k for k, v in _SEQ_RESNET_MAP.items()}
+    sd: Dict = {}
+    for k, v in tv.items():
+        head, _, tail = k.partition(".")
+        sd[f"{prefix}{inverse[head]}.{tail}"] = v
+    return sd
+
+
+def detect_our_family(params: Mapping) -> str:
+    """Which captioner family does this param tree belong to?"""
+    if "encoder_vit" in params:
+        return "vitb"
+    if "encoder" in params and "decoder" in params:
+        return "transformer"
+    if "llm" in params and "att_W_kernel" in params["llm"]:
+        return "attention"
+    if "llm" in params:
+        return "lstm"
+    raise ValueError("unrecognized captioner param tree")
+
+
+def export_reference_captioner(variables: Mapping,
+                               family: str = "auto") -> Tuple[Dict, Dict]:
+    """Inverse of `convert_reference_captioner`: our trained captioner
+    variables {'params', 'batch_stats'} → a state_dict loadable by the
+    reference's torch model of the same family ("same checkpoints",
+    both directions — BASELINE.json). Returns (state_dict, meta)."""
+    params = variables["params"]
+    stats = variables.get("batch_stats") or {}
+    if family == "auto":
+        family = detect_our_family(params)
+    meta: Dict = {"family": family}
+
+    if family == "vitb":
+        heads = int(np.shape(
+            params["encoder_vit"]["encoder_layer_0"]["self_attention"]
+            ["query"]["kernel"])[1])
+        hidden = int(np.shape(params["encoder_vit"]["class_token"])[-1])
+        n_enc = sum(1 for k in params["encoder_vit"]
+                    if str(k).startswith("encoder_layer_"))
+        tv = export_vit({"params": params["encoder_vit"]},
+                        num_layers=n_enc, num_heads=heads, hidden=hidden)
+        sd = {("proj." + k[len("conv_proj."):]
+               if k.startswith("conv_proj.") else k): v
+              for k, v in tv.items()}
+        sd.update(export_reference_vitb_decoder(params["decoder"]))
+        meta.update(vit_encoder_layers=n_enc, vit_hidden=hidden,
+                    vit_heads=heads)
+        return sd, meta
+
+    feats = params["features"]
+    if "conv1" in feats:                                      # resnet
+        sd = export_sequential_resnet(
+            {"params": feats,
+             "batch_stats": (stats or {}).get("features", {})})
+        meta["encoder"] = "resnet"
+    else:                                                     # vggface
+        sd = export_vgg_features({"params": feats}, prefix="features")
+        meta["encoder"] = "vggface"
+
+    if family == "transformer":
+        sd.update(export_reference_transformer(
+            {k: params[k] for k in ("fc", "encoder", "decoder")},
+            prefix="llm."))
+    elif family == "attention":
+        sd.update(export_reference_attention_head(params["llm"]))
+    else:
+        sd.update(export_reference_lstm_head(params["llm"]))
+    return sd, meta
 
 
 def save_state_dict(path: str, sd: Mapping) -> None:

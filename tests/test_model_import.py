@@ -33,6 +33,26 @@ def _refload(relpath, name):
     return load_reference_module(relpath, name)
 
 
+def _assert_export_roundtrip(twin, variables, family):
+    """export_reference_captioner must invert the import bit-exactly,
+    and the exported dict must load into the torch twin (strict=True —
+    every key present, every shape right)."""
+    import torch
+
+    from imagecaptioning_tpu.utils import torch_port as tp
+
+    sd = {k: np.asarray(v) for k, v in twin.state_dict().items()}
+    exported, meta = tp.export_reference_captioner(variables)
+    assert meta["family"] == family
+    assert set(exported) == set(sd), sorted(set(exported) ^ set(sd))
+    for k in sd:
+        np.testing.assert_array_equal(np.asarray(exported[k]), sd[k],
+                                      err_msg=k)
+    twin.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(np.asarray(v)))
+         for k, v in exported.items()}, strict=True)
+
+
 def _assert_same_structure(got, want_template):
     """Same key paths AND same shapes as a freshly-initialized tree."""
     from imagecaptioning_tpu.utils.pretrained import flatten_tree
@@ -130,6 +150,8 @@ def test_lstm_resnet_import_matches_torch_logits(lstm_resnet_twin):
     np.testing.assert_allclose(np.asarray(out.logits), want,
                                rtol=1e-4, atol=1e-4)
 
+    _assert_export_roundtrip(lstm_resnet_twin, variables, "lstm")
+
 
 def test_import_model_cli_roundtrip(lstm_resnet_twin, tmp_path):
     """torch.save'd checkpoint → CLI import-model → restore_params."""
@@ -155,6 +177,17 @@ def test_import_model_cli_roundtrip(lstm_resnet_twin, tmp_path):
             np.testing.assert_array_equal(np.asarray(got[k]),
                                           np.asarray(ref[k]))
 
+    # and back out: export-model over the imported dir must reproduce
+    # the original torch checkpoint bit-for-bit
+    back = tmp_path / "back.pth"
+    cc_main(["export-model", "--src", str(dst), "--dst", str(back)])
+    sd_back = torch.load(str(back))
+    sd_orig = lstm_resnet_twin.state_dict()
+    assert set(sd_back) == set(sd_orig)
+    for k in sd_orig:
+        np.testing.assert_array_equal(sd_back[k].numpy(),
+                                      sd_orig[k].numpy(), err_msg=k)
+
 
 def test_attention_vggface_import_structure():
     import torch
@@ -178,8 +211,10 @@ def test_attention_vggface_import_structure():
                 rnn_size=H, seq_length=T, idx_to_token={}, dropout=0.0,
                 device="cpu")
 
-    sd = Twin().state_dict()
+    twin = Twin()
+    sd = twin.state_dict()
     variables, meta = tp.convert_reference_captioner(sd)
+    _assert_export_roundtrip(twin, variables, "attention")
     assert meta["family"] == "attention" and meta["encoder"] == "vggface"
     assert (meta["vocab_size"], meta["embedding_size"],
             meta["rnn_size"]) == (V, W, H)
@@ -218,8 +253,10 @@ def test_transformer_vggface_import_structure():
                 max_length=T, patch_size=2, embed_size=E,
                 num_layers=L, heads=4, dropout=0.0, device="cpu")
 
-    sd = Twin().state_dict()
+    twin = Twin()
+    sd = twin.state_dict()
     variables, meta = tp.convert_reference_captioner(sd)
+    _assert_export_roundtrip(twin, variables, "transformer")
     assert meta["family"] == "transformer" and meta["encoder"] == "vggface"
     assert (meta["vocab_size"], meta["embed_size"],
             meta["num_layers"]) == (V, E, L)
@@ -286,8 +323,10 @@ def test_vitb_import_structure_and_dims():
                 heads=HEADS, forward_expansion=4, dropout=0.0,
                 device="cpu", max_length=T + 1)
 
-    sd = Twin().state_dict()
+    twin = Twin()
+    sd = twin.state_dict()
     variables, meta = tp.convert_reference_captioner(sd, vit_heads=HEADS)
+    _assert_export_roundtrip(twin, variables, "vitb")
     assert meta["family"] == "vitb"
     assert (meta["vocab_size"], meta["embedding_size"]) == (V, HID)
     assert (meta["vit_encoder_layers"], meta["num_layers"]) == (L, L)

@@ -43,6 +43,11 @@ def test_resnet_roundtrip():
                     shapes[f"{t}.downsample.1.{suf}"] = (out,)
             in_c = out
     sd = _rand_sd(shapes)
+    # real torchvision checkpoints carry a num_batches_tracked counter
+    # per BN; the export emits it as int64 0 (no flax equivalent)
+    for k in [k for k in sd if k.endswith(".running_mean")]:
+        sd[k.replace(".running_mean", ".num_batches_tracked")] = (
+            np.asarray(0, np.int64))
     variables = tp.convert_resnet(sd, depth=50)
     back = tp.export_resnet(variables, depth=50)
     _assert_sd_equal(sd, back)
