@@ -122,7 +122,7 @@ def main(argv=None):
     sp.add_argument("--dst", required=True)
     sp.add_argument("--family", default="auto",
                     choices=["auto", "lstm", "attention", "transformer",
-                             "vitb"])
+                             "vitb", "gt"])
     sp.add_argument("--vit-heads", type=int, default=12,
                     help="ViT encoder head count (not recoverable from "
                          "the fused in_proj shapes)")
@@ -137,7 +137,7 @@ def main(argv=None):
     sp.add_argument("--dst", required=True)
     sp.add_argument("--family", default="auto",
                     choices=["auto", "lstm", "attention", "transformer",
-                             "vitb"])
+                             "vitb", "gt"])
     a = p.parse_args(argv)
     if a.cmd == "import-model":
         do_import_model(a.src, a.dst, a.family, a.vit_heads)

@@ -396,11 +396,15 @@ def convert_sequential_resnet(
 
 
 def detect_reference_family(sd: Mapping) -> str:
-    """Which AlexCap family saved this `model.state_dict()`? The four
+    """Which reference family saved this `model.state_dict()`? The
     families have disjoint key roots (LSTMModel/LSTMwAttentionModel/
     TransformerModel store the decoder as `llm.`; VitbModel stores the
     torchvision ViT pieces as `proj`/`class_token`/`encoder` plus its
-    own `decoder`, VitbModel.py:159-168)."""
+    own `decoder`, VitbModel.py:159-168; AlexGTModel additionally
+    re-registers the trunk under `net.vgg16_backbone` and carries the
+    VGG `classifier`, AlexDenseModel.py:20-29)."""
+    if any(k.startswith("net.vgg16_backbone.") for k in sd):
+        return "gt"
     if any(k.startswith("proj.") for k in sd) and "class_token" in sd:
         return "vitb"
     if any(k.startswith("llm.encoder.position_embedding") for k in sd):
@@ -411,7 +415,7 @@ def detect_reference_family(sd: Mapping) -> str:
         return "lstm"
     raise ValueError(
         "unrecognized checkpoint: expected the state_dict of one of the "
-        "reference's four AlexCap model families")
+        "reference's AlexCap families or the AlexGTModel")
 
 
 def _layer_count(keys, pattern: str) -> int:
@@ -419,6 +423,84 @@ def _layer_count(keys, pattern: str) -> int:
     found = {int(m.group(1)) for k in keys
              for m in [re.match(pattern, k)] if m}
     return max(found) + 1 if found else 0
+
+
+def convert_reference_gt_model(sd: Mapping) -> Tuple[Dict, Dict]:
+    """AlexGTModel `AlexCapModel.state_dict()` (traingt.py checkpoints)
+    → GTDenseCaptioner variables. The reference registers the trunk and
+    classifier TWICE (as `features`/`classifier` and inside `net.*`,
+    AlexDenseModel.py:20-29) — the duplicates alias the same tensors, so
+    only the direct names are read. The GT transformer head's encoder
+    carries a dead `word_embedding` (AlexTransformer.py:111, never used
+    in forward) which has no slot here and is dropped."""
+    use_lstm = "llm.lstm.weight_ih_l0" in sd
+    params: Dict = {
+        "features": convert_vgg_features(sd, prefix="features")["params"],
+        "classifier": convert_vgg_classifier(sd)["params"],
+    }
+    meta: Dict = {"family": "gt", "use_lstm": use_lstm}
+    if use_lstm:
+        n = _layer_count(sd, r"llm\.lstm\.weight_ih_l(\d+)")
+        head = convert_reference_lstm_head(sd, prefix="llm.",
+                                           num_layers=n)
+        params["llm"] = head
+        meta.update(
+            vocab_size=int(head["lookup_table"]["embedding"].shape[0]) - 3,
+            embedding_size=int(head["lookup_table"]["embedding"]
+                               .shape[-1]),
+            rnn_size=int(head["lstm"]["w_hh_l0"].shape[-1]), num_layers=n)
+    else:
+        llm_sd = {k[len("llm."):]: v for k, v in sd.items()
+                  if k.startswith("llm.")}
+        n = _layer_count(llm_sd, r"encoder\.layers\.(\d+)\.")
+        params.update(convert_reference_transformer(llm_sd, num_layers=n))
+        # the GT encoder sees a length-1 sequence (one projected ROI
+        # code, AlexTransformer.py:313-316) so only position row 0 is
+        # ever read; our Encoder(patch_length=1) holds exactly that row
+        params["encoder"]["position_embedding"] = (
+            params["encoder"]["position_embedding"][:1])
+        emb = _np(llm_sd["decoder.word_embedding.weight"])
+        # AlexTransformer takes src_vocab_size ALREADY including the +3
+        # specials (AlexDenseModel.py:43, sos=V-2/eos=V-1 convention)
+        meta.update(vocab_size=int(emb.shape[0]) - 3,
+                    embed_size=int(emb.shape[-1]), num_layers=n)
+    return {"params": params, "batch_stats": {}}, meta
+
+
+def export_reference_gt_model(variables: Mapping) -> Tuple[Dict, Dict]:
+    """Inverse of `convert_reference_gt_model`. Emits the duplicate
+    `net.vgg16_backbone`/`net.full_conv` registrations (same tensors)
+    so the reference's strict `load_state_dict` accepts the export; the
+    dead GT-transformer `encoder.word_embedding` is re-emitted as zeros
+    (it never participates in the forward pass)."""
+    params = variables["params"]
+    use_lstm = "llm" in params
+    sd = export_vgg_features({"params": params["features"]},
+                             prefix="features")
+    sd.update(export_vgg_classifier({"params": params["classifier"]}))
+    meta: Dict = {"family": "gt", "use_lstm": use_lstm}
+    if use_lstm:
+        sd.update(export_reference_lstm_head(params["llm"]))
+    else:
+        sd.update(export_reference_transformer(
+            {k: params[k] for k in ("fc", "encoder", "decoder")},
+            prefix="llm."))
+        dead = np.zeros_like(
+            np.asarray(params["decoder"]["word_embedding"]["embedding"]))
+        sd["llm.encoder.word_embedding.weight"] = dead
+        # pad the encoder position table back to the reference's
+        # max_length rows (only row 0 participates in the forward pass)
+        dec_pos = np.asarray(
+            params["decoder"]["position_embedding"])
+        enc_pos = np.zeros_like(dec_pos)
+        enc_pos[:1] = np.asarray(sd["llm.encoder.position_embedding.weight"])
+        sd["llm.encoder.position_embedding.weight"] = enc_pos
+    for k in list(sd):
+        if k.startswith("features."):
+            sd["net.vgg16_backbone." + k[len("features."):]] = sd[k]
+        elif k.startswith("classifier."):
+            sd["net.full_conv." + k[len("classifier."):]] = sd[k]
+    return sd, meta
 
 
 def convert_reference_captioner(sd: Mapping, family: str = "auto",
@@ -435,6 +517,8 @@ def convert_reference_captioner(sd: Mapping, family: str = "auto",
     """
     if family == "auto":
         family = detect_reference_family(sd)
+    if family == "gt":
+        return convert_reference_gt_model(sd)
     meta: Dict = {"family": family}
 
     if family == "vitb":
@@ -780,6 +864,8 @@ def detect_our_family(params: Mapping) -> str:
     """Which captioner family does this param tree belong to?"""
     if "encoder_vit" in params:
         return "vitb"
+    if "classifier" in params:                 # GTDenseCaptioner
+        return "gt"
     if "encoder" in params and "decoder" in params:
         return "transformer"
     if "llm" in params and "att_W_kernel" in params["llm"]:
@@ -799,6 +885,8 @@ def export_reference_captioner(variables: Mapping,
     stats = variables.get("batch_stats") or {}
     if family == "auto":
         family = detect_our_family(params)
+    if family == "gt":
+        return export_reference_gt_model(variables)
     meta: Dict = {"family": family}
 
     if family == "vitb":

@@ -272,6 +272,101 @@ def test_transformer_vggface_import_structure():
     _assert_same_structure(variables["params"], init["params"])
 
 
+def _gt_twin(use_lstm):
+    """AlexGTModel.AlexCapModel's state_dict layout (AlexDenseModel.py:
+    20-47): trunk + VGG classifier[:-1], BOTH also registered inside
+    `net.*`, plus the reference's own dense caption head."""
+    import torch
+    import torch.nn as tnn
+
+    from imagecaptioning_tpu.utils import torch_port as tp
+
+    torch.manual_seed(15)
+    trunk = tp.build_torch_vgg_trunk()
+
+    class Twin(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = trunk.features
+            self.classifier = tnn.Sequential(
+                tnn.Linear(25088, 4096), tnn.ReLU(), tnn.Dropout(0.0),
+                tnn.Linear(4096, 4096), tnn.ReLU(), tnn.Dropout(0.0))
+            self.net = tnn.Sequential()
+            self.net.add_module("vgg16_backbone", self.features)
+            self.net.add_module("full_conv", self.classifier)
+            if use_lstm:
+                lm = _refload("AlexGTModel/AlexDenseLangage.py",
+                              "mi_ref_gtlm")
+                self.llm = lm.LanguageModel(V, W, 4096, H, T, 1, {},
+                                            0.0, "cpu", False)
+            else:
+                tr = _refload("AlexGTModel/AlexTransformer.py",
+                              "mi_ref_gttr")
+                self.llm = tr.Transformer(
+                    src_vocab_size=V + 3, fc_dim=4096, token_dict={},
+                    max_length=T + 1, embed_size=32, num_layers=2,
+                    heads=4, dropout=0.0, device="cpu")
+
+    return Twin()
+
+
+def test_gt_lstm_import_structure_and_roundtrip():
+    import jax
+    import jax.numpy as jnp
+    from imagecaptioning_tpu.models.densecap import GTDenseCaptioner
+    from imagecaptioning_tpu.utils import torch_port as tp
+
+    twin = _gt_twin(use_lstm=True)
+    variables, meta = tp.convert_reference_captioner(twin.state_dict())
+    assert meta == {"family": "gt", "use_lstm": True, "vocab_size": V,
+                    "embedding_size": W, "rnn_size": H, "num_layers": 1}
+
+    model = GTDenseCaptioner(vocab_size=V, seq_length=T, use_lstm=True,
+                             embedding_size=W, rnn_size=H, dropout=0.0)
+    rng = np.random.RandomState(9)
+    init = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32)),
+        jnp.asarray([[[32.0, 32.0, 30.0, 30.0], [20.0, 20.0, 16.0, 16.0]]]),
+        jnp.asarray(rng.randint(1, V + 1, size=(1, 2, T)).astype(np.int32)))
+    _assert_same_structure(variables["params"], init["params"])
+    _assert_export_roundtrip(twin, variables, "gt")
+
+
+def test_gt_transformer_import_structure_and_roundtrip():
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    from imagecaptioning_tpu.models.densecap import GTDenseCaptioner
+    from imagecaptioning_tpu.utils import torch_port as tp
+
+    twin = _gt_twin(use_lstm=False)
+    # the GT transformer's encoder word_embedding and position rows 1+
+    # never participate in the forward pass (length-1 ROI sequence,
+    # AlexTransformer.py:111,313-316); the export re-emits them as
+    # zeros, so zero them here for the bit-equality round trip
+    with torch.no_grad():
+        twin.llm.encoder.word_embedding.weight.zero_()
+        twin.llm.encoder.position_embedding.weight[1:].zero_()
+
+    variables, meta = tp.convert_reference_captioner(twin.state_dict())
+    assert meta == {"family": "gt", "use_lstm": False, "vocab_size": V,
+                    "embed_size": 32, "num_layers": 2}
+
+    model = GTDenseCaptioner(vocab_size=V, seq_length=T, use_lstm=False,
+                             embed_size=32, num_layers=2, heads=4,
+                             dropout=0.0)
+    rng = np.random.RandomState(10)
+    init = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32)),
+        jnp.asarray([[[32.0, 32.0, 30.0, 30.0], [20.0, 20.0, 16.0, 16.0]]]),
+        jnp.asarray(rng.randint(1, V + 1, size=(1, 2, T)).astype(np.int32)))
+    _assert_same_structure(variables["params"], init["params"])
+    _assert_export_roundtrip(twin, variables, "gt")
+
+
 def test_vitb_import_structure_and_dims():
     """The real VitbModel stores torchvision's conv_proj as `proj`
     (VitbModel.py:159) — the importer must rename it back, infer the
