@@ -437,3 +437,49 @@ def test_vitb_import_structure_and_dims():
         jnp.asarray(rng.rand(B, IMG, IMG, 3).astype(np.float32)),
         jnp.asarray(rng.randint(1, V + 1, size=(B, T)).astype(np.int32)))
     _assert_same_structure(variables["params"], init["params"])
+
+
+def test_imported_checkpoint_serves_through_infer_cli(lstm_resnet_twin,
+                                                      tmp_path):
+    """The complete migration seam a reference user actually walks:
+    `model.state_dict()` .pth → `convert_checkpoint.py import-model` →
+    `infer.py` captions an image folder from the imported checkpoint
+    (dims passed as --set overrides, printed by import-model's meta)."""
+    import json
+
+    import torch
+    from PIL import Image
+
+    import infer
+    from convert_checkpoint import main as cc_main
+
+    src = tmp_path / "best_model_LSTM_resnet_ft6_bs12_clip.pth"
+    torch.save(lstm_resnet_twin.state_dict(), str(src))
+    ckpt = tmp_path / "ckpt"
+    cc_main(["import-model", "--src", str(src), "--dst", str(ckpt)])
+
+    # dicts JSON with vocab_size == V (1-indexed real tokens, the
+    # reference's my_model_preprocess.py dicts schema)
+    t2i = {f"w{i}": i for i in range(1, V + 1)}
+    dicts = tmp_path / "dicts.json"
+    with open(dicts, "w") as f:
+        json.dump({"token_to_idx": t2i,
+                   "idx_to_token": {str(i): t for t, i in t2i.items()}},
+                  f)
+    imdir = tmp_path / "photos"
+    imdir.mkdir()
+    rng = np.random.RandomState(3)
+    for i in range(2):
+        Image.fromarray(rng.randint(0, 255, size=(218, 178, 3),
+                                    dtype=np.uint8)).save(
+            str(imdir / f"p{i}.jpg"))
+
+    res = infer.main([
+        "--model-type", "lstm", "--ckpt", str(ckpt),
+        "--dicts", str(dicts), "--images", str(imdir),
+        "--seq-length", str(T), "--beam", "2",
+        "--set", f"embedding_size={W}", f"lstm_size={H}",
+        "backbone_stages=1,1,1,1", "use_vggface=False",
+        "compute_dtype=float32"])
+    assert len(res) == 2
+    assert all(isinstance(c, str) for c in res.values())
