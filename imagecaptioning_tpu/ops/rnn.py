@@ -22,7 +22,15 @@ LSTMState = Tuple[jnp.ndarray, jnp.ndarray]  # (h, c) each (L, B, H)
 
 def lstm_cell_step(w_ih, w_hh, b_ih, b_hh, x, h, c):
     """One torch-ordered LSTM cell step. x: (B, in), h/c: (B, H)."""
-    gates = x @ w_ih.T + h @ w_hh.T + b_ih + b_hh
+    return lstm_gates_step(x @ w_ih.T + b_ih, w_hh, b_hh, h, c)
+
+
+def lstm_gates_step(gates_x, w_hh, b_hh, h, c):
+    """Cell step from a PRECOMPUTED input projection (x @ w_ih.T + b_ih).
+    Under teacher forcing the whole sequence's input projections are one
+    (B·T, in)×(in, 4H) MXU GEMM hoisted out of the scan; only the carry-
+    dependent h @ w_hh.T stays sequential."""
+    gates = gates_x + h @ w_hh.T + b_hh
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     i = jax.nn.sigmoid(i)
     f = jax.nn.sigmoid(f)
@@ -86,14 +94,24 @@ class LSTM(nn.Module):
         else:
             masks_t = jnp.ones((t, 0, b, self.hidden_size), xs.dtype)
 
+        # layer 0's input projection has no carry dependence — hoist it
+        # out of the scan as ONE (B·T, in)×(in, 4H) GEMM (MXU-sized)
+        # instead of T sequential (B, in) slivers
+        w_ih0, _, b_ih0, _ = params[0]
+        pre0_t = jnp.swapaxes(xs @ w_ih0.T + b_ih0, 0, 1)  # (T, B, 4H)
+
         def step(carry, inp_t):
-            x_t, mask_t = inp_t
+            pre0, mask_t = inp_t
             hs, cs = carry
             new_h, new_c = [], []
-            inp = x_t
+            inp = None
             for layer, (w_ih, w_hh, b_ih, b_hh) in enumerate(params):
-                h, c = lstm_cell_step(w_ih, w_hh, b_ih, b_hh,
-                                      inp, hs[layer], cs[layer])
+                if layer == 0:
+                    h, c = lstm_gates_step(pre0, w_hh, b_hh,
+                                           hs[0], cs[0])
+                else:
+                    h, c = lstm_cell_step(w_ih, w_hh, b_ih, b_hh,
+                                          inp, hs[layer], cs[layer])
                 new_h.append(h)
                 new_c.append(c)
                 inp = h
@@ -101,8 +119,7 @@ class LSTM(nn.Module):
                     inp = inp * mask_t[layer]
             return (jnp.stack(new_h), jnp.stack(new_c)), inp
 
-        xs_t = jnp.swapaxes(xs, 0, 1)  # (T, B, in)
-        (hT, cT), ys_t = jax.lax.scan(step, h0c0, (xs_t, masks_t))
+        (hT, cT), ys_t = jax.lax.scan(step, h0c0, (pre0_t, masks_t))
         ys = jnp.swapaxes(ys_t, 0, 1)
         return ys, (hT, cT)
 

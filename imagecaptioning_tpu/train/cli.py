@@ -16,10 +16,13 @@ import json
 import sys
 
 from imagecaptioning_tpu.config import apply_overrides, get_config
-from imagecaptioning_tpu.train.driver import train
+from imagecaptioning_tpu.utils.platform import honor_jax_platforms_env
 
 
 def main(model_type: str, argv=None) -> dict:
+    honor_jax_platforms_env()
+    from imagecaptioning_tpu.train.driver import train
+
     parser = argparse.ArgumentParser(
         description=f"Train the {model_type} captioner (TPU-native)")
     parser.add_argument("--smoke", action="store_true",

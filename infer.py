@@ -151,6 +151,8 @@ def caption_dense(args) -> dict:
 
 
 def main(argv=None):
+    from imagecaptioning_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model-type", default="lstm",
                    choices=["lstm", "lstm_attention", "transformer",
