@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from imagecaptioning_tpu.ops.rnn import LSTM, lstm_cell_step
+from imagecaptioning_tpu.ops.rnn import LSTM, lstm_gates_step
 
 
 class LanguageHead(nn.Module):
@@ -133,13 +133,21 @@ class AttentionHead(nn.Module):
         context = (img_features * alpha[..., None]).sum(axis=1)
         return context, alpha
 
-    def _cell(self, w_s, img_features, emb, state, drop_rng=None):
+    def _pre_emb(self, emb):
+        """Embedding half of the cell's input-gate GEMM (+ b_ih). The
+        cell input is concat(emb, gate·ctx); splitting W_ih by columns
+        makes this half carry-independent, so under teacher forcing the
+        whole sequence's projections hoist out of the scan as one
+        (B·T, w)×(w, 4H) MXU GEMM."""
+        return emb @ self.w_ih[:, :self.embedding_size].T + self.b_ih
+
+    def _cell(self, w_s, img_features, pre_emb, state, drop_rng=None):
         h, c = state
         context, alpha = self._attend(w_s, img_features, h)
         gate = jax.nn.sigmoid(h @ self.f_beta_kernel + self.f_beta_bias)
-        x = jnp.concatenate([emb, gate * context], axis=-1)
-        h, c = lstm_cell_step(self.w_ih, self.w_hh, self.b_ih, self.b_hh,
-                              x, h, c)
+        gates_x = pre_emb + (gate * context) @ \
+            self.w_ih[:, self.embedding_size:].T
+        h, c = lstm_gates_step(gates_x, self.w_hh, self.b_hh, h, c)
         hd = h
         if drop_rng is not None:
             keep = jax.random.bernoulli(drop_rng, 1.0 - self.dropout, h.shape)
@@ -155,20 +163,21 @@ class AttentionHead(nn.Module):
                  deterministic: bool = True):
         """Teacher-forced scan → (logits (B, T+1, V+3), alphas (B, T+1, P))."""
         state = self.init_state(img_features)
-        embs_t = jnp.swapaxes(self.embedding(tokens_with_start), 0, 1)
+        pre_t = jnp.swapaxes(
+            self._pre_emb(self.embedding(tokens_with_start)), 0, 1)
         w_s = self._w_s(img_features)
         use_drop = (not deterministic) and self.dropout > 0
         base_rng = self.make_rng("dropout") if use_drop else None
 
         def body(carry, inp):
-            t, emb = inp
+            t, pre = inp
             rng = jax.random.fold_in(base_rng, t) if use_drop else None
-            logits, alpha, carry = self._cell(w_s, img_features, emb,
+            logits, alpha, carry = self._cell(w_s, img_features, pre,
                                               carry, rng)
             return carry, (logits, alpha)
 
-        ts = jnp.arange(embs_t.shape[0])
-        _, (logits_t, alphas_t) = jax.lax.scan(body, state, (ts, embs_t))
+        ts = jnp.arange(pre_t.shape[0])
+        _, (logits_t, alphas_t) = jax.lax.scan(body, state, (ts, pre_t))
         return jnp.swapaxes(logits_t, 0, 1), jnp.swapaxes(alphas_t, 0, 1)
 
     def attention_keys(self, img_features):
@@ -180,8 +189,8 @@ class AttentionHead(nn.Module):
     def step(self, img_features, tokens, state, w_s=None):
         """One decode step (deterministic). `w_s`: precomputed
         `attention_keys` (computed here when omitted)."""
-        emb = self.embedding(tokens)[:, 0]
+        pre = self._pre_emb(self.embedding(tokens)[:, 0])
         if w_s is None:
             w_s = self._w_s(img_features)
-        logits, alpha, state = self._cell(w_s, img_features, emb, state)
+        logits, alpha, state = self._cell(w_s, img_features, pre, state)
         return logits, alpha, state
