@@ -27,7 +27,8 @@ def eval_split(model, variables, loader, *, split: int = 1,
                preprocess=None,
                use_beam: bool = False, beam_size: int = 3,
                max_images: int = -1,
-               eval_loss_fn=None) -> Dict:
+               eval_loss_fn=None,
+               return_records: bool = False) -> Dict:
     seq_len = loader.getSeqLength()
     decode = (api.make_beam_fn(model, seq_len + 1, beam_size) if use_beam
               else api.make_greedy_fn(model, seq_len + 1))
@@ -60,6 +61,11 @@ def eval_split(model, variables, loader, *, split: int = 1,
         evaluator.add_result(preds, [[r] for r in refs])
 
     ap = evaluator.evaluate()
-    return {"loss_results": float(np.mean(losses)) if losses else None,
-            "ap_results": ap,
-            "num_images": seen}
+    out = {"loss_results": float(np.mean(losses)) if losses else None,
+           "ap_results": ap,
+           "num_images": seen}
+    if return_records:
+        # decoded (candidate, references) pairs — lets committed
+        # evidence artifacts show WHAT was predicted, not just scores
+        out["records"] = evaluator.records
+    return out

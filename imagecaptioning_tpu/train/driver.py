@@ -230,13 +230,15 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
     if loader.split_ix[2]:
         final["greedy"] = eval_split(
             model, eval_vars(state), loader, split=2,
-            batch_size=cfg.eval_val_batch_size, preprocess=preprocess)
+            batch_size=cfg.eval_val_batch_size, preprocess=preprocess,
+            return_records=True)
         if cfg.use_beam:
             for k in range(1, 6):
                 final[f"beam_{k}"] = eval_split(
                     model, eval_vars(state), loader, split=2,
                     batch_size=cfg.eval_val_batch_size,
-                    preprocess=preprocess, use_beam=True, beam_size=k)
+                    preprocess=preprocess, use_beam=True, beam_size=k,
+                    return_records=True)
     return {
         "iters": it,
         "final_loss": last_loss,

@@ -43,6 +43,7 @@ Run: python quality_parity.py [--steps 160] [--out runs/parity]
 from __future__ import annotations
 
 import argparse
+import copy
 import json
 import os
 
@@ -115,13 +116,16 @@ def _torch_attention_greedy(ref, feats, seq_length, vocab_size):
 
 
 def run_torch(data, batches, lr, wd, boundary, seq_length,
-              family="lstm", init_sd=None):
+              family="lstm", init_sd=None, step_noise_rel=None,
+              snapshot_at=()):
     """The reference's own modules + training-loop semantics
     (train_LSTM.py:77-133 / train_LSTMwAttention.py incl. the
     doubly-stochastic regularizer, LSTMwAttentionModel.py:59-71;
     train_Transformer.py:72-133 incl. the two-group AdamW;
     train_ViTB.py:51-120 with the collect_params split), CPU.
-    `init_sd` overrides the initial state_dict (control reruns).
+    `init_sd` overrides the initial state_dict (control reruns);
+    `step_noise_rel` multiplies every param by (1 + rel·N(0,1)) after
+    each optimizer step (per-step control reruns).
     Restores the process-wide torch.Tensor.cuda shim (attention family)
     on every exit path — in-process callers (tests) must not inherit a
     no-op .cuda()."""
@@ -131,15 +135,35 @@ def run_torch(data, batches, lr, wd, boundary, seq_length,
     try:
         if family == "vitb":
             return _run_torch_vitb(data, batches, lr, wd, seq_length,
-                                   init_sd)
+                                   init_sd, step_noise_rel, snapshot_at)
         return _run_torch_inner(data, batches, lr, wd, boundary,
-                                seq_length, family, init_sd)
+                                seq_length, family, init_sd,
+                                step_noise_rel, snapshot_at)
     finally:
         torch.Tensor.cuda = orig_cuda
 
 
+def _step_noise_fn(model, rel, seed=4321):
+    """Per-step control: multiply every param by (1 + rel·N(0,1)) after
+    each optimizer step — the magnitude/cadence at which fp32
+    reassociation injects noise in a cross-framework port (each step's
+    reductions are ordered differently, not just the init)."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+
+    def apply():
+        with torch.no_grad():
+            for p in model.parameters():
+                if p.is_floating_point():
+                    p.mul_(1 + rel * torch.randn(p.shape, generator=g,
+                                                 dtype=p.dtype))
+    return apply
+
+
 def _run_torch_inner(data, batches, lr, wd, boundary, seq_length,
-                     family, init_sd=None):
+                     family, init_sd=None, step_noise_rel=None,
+                     snapshot_at=()):
     import torch
     import torch.nn as tnn
 
@@ -224,9 +248,17 @@ def _run_torch_inner(data, batches, lr, wd, boundary, seq_length,
         opt = torch.optim.Adam(model.parameters(), lr=lr,
                                weight_decay=wd)
     model.features.requires_grad_(False)   # frozen-CNN phase
+    noise = (_step_noise_fn(model, step_noise_rel)
+             if step_noise_rel else None)
 
     losses = []
+    snapshots = {}
     for it, ix in enumerate(batches):
+        if it in snapshot_at:
+            # params ENTERING step `it` — losses[it] is computed from
+            # exactly these (the trajectory-pinned defect probe ports
+            # them to jax and re-evaluates the same step's loss)
+            snapshots[it] = copy.deepcopy(model.state_dict())
         if it == boundary:
             model.features.requires_grad_(True)   # train_LSTM.py:101-105
         img = torch.from_numpy(
@@ -244,6 +276,8 @@ def _run_torch_inner(data, batches, lr, wd, boundary, seq_length,
         loss.backward()
         torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
         opt.step()
+        if noise is not None:
+            noise()
         losses.append(float(loss.detach()))
 
     # greedy decode of the test split + the reference's own scorer
@@ -266,7 +300,7 @@ def _run_torch_inner(data, batches, lr, wd, boundary, seq_length,
     meteor, bleu = _reference_score(preds, refs)
     return {"losses": losses, "predictions": preds, "references": refs,
             "meteor": meteor, "bleu": bleu,
-            "state_dict_init": sd_init}
+            "state_dict_init": sd_init, "snapshots": snapshots}
 
 
 def _reference_score(preds, refs):
@@ -283,7 +317,8 @@ def _reference_score(preds, refs):
     return blob["average_score"], blob["average_bl_score"]
 
 
-def _run_torch_vitb(data, batches, lr, wd, seq_length, init_sd=None):
+def _run_torch_vitb(data, batches, lr, wd, seq_length, init_sd=None,
+                    step_noise_rel=None, snapshot_at=()):
     """The flagship ViT-B configuration (vitb_opts: pretrained encoder,
     frozen at construction — VitbModel.py:162-166): a mini ViT encoder
     with torchvision vit_b_16's EXACT module naming + the reference's
@@ -406,9 +441,14 @@ def _run_torch_vitb(data, batches, lr, wd, seq_length, init_sd=None):
         [{"params": rest, "lr": lr, "weight_decay": wd},
          {"params": embed_params, "lr": lr, "weight_decay": wd}],
         betas=(0.9, 0.999), eps=1e-8)
+    noise = (_step_noise_fn(model, step_noise_rel)
+             if step_noise_rel else None)
 
     losses = []
-    for ix in batches:
+    snapshots = {}
+    for it, ix in enumerate(batches):
+        if it in snapshot_at:
+            snapshots[it] = copy.deepcopy(model.state_dict())
         img = torch.from_numpy(
             data["images"][ix].transpose(0, 3, 1, 2).copy())
         gt = torch.from_numpy(data["labels"][ix])
@@ -420,6 +460,8 @@ def _run_torch_vitb(data, batches, lr, wd, seq_length, init_sd=None):
         loss.backward()
         torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
         opt.step()
+        if noise is not None:
+            noise()
         losses.append(float(loss.detach()))
 
     # greedy decode (the use_beam=False branch of forward_test,
@@ -445,7 +487,7 @@ def _run_torch_vitb(data, batches, lr, wd, seq_length, init_sd=None):
     meteor, bleu = _reference_score(preds, refs)
     return {"losses": losses, "predictions": preds, "references": refs,
             "meteor": meteor, "bleu": bleu,
-            "state_dict_init": sd_init}
+            "state_dict_init": sd_init, "snapshots": snapshots}
 
 
 # -------------------------------------------------------------- jax side
@@ -481,6 +523,46 @@ def port_params(sd, family="lstm"):
     return jax.tree.map(lambda v: jnp.array(np.asarray(v)), params)
 
 
+def _family_models(data, seq_length, family):
+    """Our captioner + its stop-gradient frozen variant at the parity
+    dims (shared by run_jax and the trajectory-defect probe)."""
+    from imagecaptioning_tpu.models.captioners import (AttentionCaptioner,
+                                                       LSTMCaptioner,
+                                                       TransformerCaptioner,
+                                                       ViTCaptioner)
+
+    vocab = data["vocab"]
+    if family == "attention":
+        kw = dict(vocab_size=vocab.vocab_size, embedding_size=64,
+                  rnn_size=64, dropout=0.0, use_vggface=True,
+                  att_reg_weight=1.0)
+        return (AttentionCaptioner(**kw),
+                AttentionCaptioner(**kw, freeze_encoder=True),
+                "lstm_attention")
+    if family == "transformer":
+        kw = dict(vocab_size=vocab.vocab_size, max_length=seq_length,
+                  embed_size=64, num_layers=2, heads=4, dropout=0.0,
+                  use_vggface=True,
+                  patch_size_override=data["images"].shape[1] // 16)
+        return (TransformerCaptioner(**kw),
+                TransformerCaptioner(**kw, freeze_encoder=True),
+                "transformer")
+    if family == "vitb":
+        kw = dict(vocab_size=vocab.vocab_size, max_length=seq_length,
+                  embed_size=32, num_layers=2, heads=4,
+                  forward_expansion=4, dropout=0.0, image_size=32,
+                  vit_patch=16, vit_layers=2, vit_heads=4,
+                  vit_hidden=32, vit_mlp=64)
+        # pretrained flagship semantics: encoder frozen the whole run
+        model = ViTCaptioner(**kw, freeze_encoder=True)
+        return model, model, "vitb"
+    kw = dict(vocab_size=vocab.vocab_size, embedding_size=64,
+              rnn_size=64, dropout=0.0, use_vggface=True)
+    return (LSTMCaptioner(**kw),
+            LSTMCaptioner(**kw, freeze_encoder=True),
+            "lstm")
+
+
 def run_jax(data, batches, lr, wd, boundary, seq_length, init_sd,
             steps, family="lstm"):
     """Our production pieces: LSTMCaptioner/AttentionCaptioner (+
@@ -499,37 +581,8 @@ def run_jax(data, batches, lr, wd, boundary, seq_length, init_sd,
     from imagecaptioning_tpu.train import optim, step as steplib
 
     vocab = data["vocab"]
-    if family == "attention":
-        kw = dict(vocab_size=vocab.vocab_size, embedding_size=64,
-                  rnn_size=64, dropout=0.0, use_vggface=True,
-                  att_reg_weight=1.0)
-        model = AttentionCaptioner(**kw)
-        frozen_model = AttentionCaptioner(**kw, freeze_encoder=True)
-        cfg_name = "lstm_attention"
-    elif family == "transformer":
-        kw = dict(vocab_size=vocab.vocab_size, max_length=seq_length,
-                  embed_size=64, num_layers=2, heads=4, dropout=0.0,
-                  use_vggface=True,
-                  patch_size_override=data["images"].shape[1] // 16)
-        model = TransformerCaptioner(**kw)
-        frozen_model = TransformerCaptioner(**kw, freeze_encoder=True)
-        cfg_name = "transformer"
-    elif family == "vitb":
-        kw = dict(vocab_size=vocab.vocab_size, max_length=seq_length,
-                  embed_size=32, num_layers=2, heads=4,
-                  forward_expansion=4, dropout=0.0, image_size=32,
-                  vit_patch=16, vit_layers=2, vit_heads=4,
-                  vit_hidden=32, vit_mlp=64)
-        # pretrained flagship semantics: encoder frozen the whole run
-        model = ViTCaptioner(**kw, freeze_encoder=True)
-        frozen_model = model
-        cfg_name = "vitb"
-    else:
-        kw = dict(vocab_size=vocab.vocab_size, embedding_size=64,
-                  rnn_size=64, dropout=0.0, use_vggface=True)
-        model = LSTMCaptioner(**kw)
-        frozen_model = LSTMCaptioner(**kw, freeze_encoder=True)
-        cfg_name = "lstm"
+    model, frozen_model, cfg_name = _family_models(data, seq_length,
+                                                   family)
 
     cfg = get_config(cfg_name).replace(
         use_vggface=True, learning_rate=lr, weight_decay=wd,
@@ -589,6 +642,54 @@ def _perturb_state_dict(sd, rel: float = 1e-7, seed: int = 1234):
     return out
 
 
+def _growth_rate(rel):
+    """Fitted log10 slope of a divergence curve (a Lyapunov-rate proxy),
+    over the steps where it sits above the fp32 noise floor."""
+    rel = np.asarray(rel)
+    steps = np.arange(len(rel))
+    mask = rel > 1e-9
+    if mask.sum() < 10:
+        return None
+    return float(np.polyfit(steps[mask], np.log10(rel[mask]), 1)[0])
+
+
+def _trajectory_defect(data, batches, family, seq_length, snapshots,
+                       torch_losses):
+    """Trajectory-pinned one-step defect: port the torch params ENTERING
+    probed steps into our model and recompute that exact step's training
+    loss on the same batch. fp32-epsilon agreement at every probe —
+    including both sides of the finetune boundary — proves the
+    end-of-run drift is iterated feedback amplifying per-step rounding
+    (chaos), not a biased step anywhere along the trajectory."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from imagecaptioning_tpu.train import step as steplib
+
+    model, _, _ = _family_models(data, seq_length, family)
+    tx = optax.sgd(0.0)
+    step = None
+    out = {"steps": [], "torch_loss": [], "jax_loss": [],
+           "rel_loss_diff": []}
+    for k in sorted(snapshots):
+        ix = batches[k]
+        x = jnp.asarray(data["images"][ix])
+        g = jnp.asarray(data["labels"][ix].astype(np.int32))
+        state, _ = steplib.create_train_state(model, tx, x, g)
+        state = state._replace(params=port_params(snapshots[k], family))
+        if step is None:
+            step = jax.jit(steplib.make_train_step(model, tx))
+        _, m = step(state, x, g)
+        lj, lt = float(m["loss"]), float(torch_losses[k])
+        out["steps"].append(int(k))
+        out["torch_loss"].append(lt)
+        out["jax_loss"].append(lj)
+        out["rel_loss_diff"].append(abs(lt - lj) / max(abs(lt), 1e-8))
+    out["max_rel_loss_diff"] = max(out["rel_loss_diff"])
+    return out
+
+
 def run(steps: int = 160, bs: int = 8, lr: float = None,
         num_images: int = 32, seq_length: int = 10, hw: int = None,
         family: str = "lstm", control: bool = False):
@@ -606,8 +707,12 @@ def run(steps: int = 160, bs: int = 8, lr: float = None,
     data = build_dataset(num_images, seq_length, hw)
     batches = batch_schedule(data["train_ix"], bs, steps)
 
+    probe = (tuple(sorted({0, steps // 4, max(boundary - 1, 0),
+                           boundary, (3 * steps) // 4, steps - 1}))
+             if control else ())
     torch_out = run_torch(data, batches, lr, wd, boundary, seq_length,
-                          family)
+                          family, snapshot_at=probe)
+    snapshots = torch_out.pop("snapshots", {})
     init_sd = torch_out.pop("state_dict_init")
     jax_out = run_jax(data, batches, lr, wd, boundary, seq_length,
                       init_sd, steps, family)
@@ -660,6 +765,41 @@ def run(steps: int = 160, bs: int = 8, lr: float = None,
             "control_max_rel_diff_all": float(relc.max()),
             "control_mean_rel_diff_all": float(relc.mean()),
         })
+        # per-step control: same init, params ×(1 + 1e-7·noise) after
+        # every optimizer step — fp32 reassociation's actual cadence in
+        # a cross-framework port (each step's reductions reorder, not
+        # just the init). This is the envelope max_rel_loss_diff_all
+        # should be read against.
+        ctls = run_torch(data, batches, lr, wd, boundary, seq_length,
+                         family, step_noise_rel=1e-7)
+        lcs = np.asarray(ctls["losses"])
+        relcs = np.abs(lt - lcs) / np.maximum(np.abs(lt), 1e-8)
+        report["control_step"] = {
+            "description": "reference (torch) rerun with params "
+                           "multiplied by (1 + 1e-7 noise) after every "
+                           "optimizer step, vs the unperturbed run",
+            "losses": ctls["losses"],
+            "meteor": ctls["meteor"], "bleu": ctls["bleu"],
+        }
+        report["agreement"].update({
+            "control_step_max_rel_diff_first_50": float(relcs[:50].max()),
+            "control_step_max_rel_diff_all": float(relcs.max()),
+            "control_step_mean_rel_diff_all": float(relcs.mean()),
+        })
+        # trajectory-pinned defect probe + growth-rate fits: the drift
+        # is explained iff (a) the per-step defect stays at fp32
+        # epsilon along the WHOLE trajectory and (b) ours grows at the
+        # same exponential rate as the torch-vs-torch controls.
+        defect = _trajectory_defect(data, batches, family, seq_length,
+                                    snapshots, lt)
+        report["trajectory_defect"] = defect
+        report["agreement"].update({
+            "trajectory_defect_max_rel_loss_diff":
+                defect["max_rel_loss_diff"],
+            "lyapunov_log10_slope_ours": _growth_rate(rel),
+            "lyapunov_log10_slope_control": _growth_rate(relc),
+            "lyapunov_log10_slope_control_step": _growth_rate(relcs),
+        })
     return report
 
 
@@ -703,6 +843,20 @@ def main(argv=None):
               f"first50 max {a['control_max_rel_diff_first_50']:.2e}"
               f"  all max {a['control_max_rel_diff_all']:.2e}"
               f"  mean {a['control_mean_rel_diff_all']:.2e}")
+    if "control_step_max_rel_diff_all" in a:
+        print(f"control (torch-vs-torch, per-step noise): "
+              f"first50 max {a['control_step_max_rel_diff_first_50']:.2e}"
+              f"  all max {a['control_step_max_rel_diff_all']:.2e}"
+              f"  mean {a['control_step_mean_rel_diff_all']:.2e}")
+    if "trajectory_defect_max_rel_loss_diff" in a:
+        d = report["trajectory_defect"]
+        print(f"trajectory-pinned defect (torch params @ steps "
+              f"{d['steps']} -> our step): max rel "
+              f"{a['trajectory_defect_max_rel_loss_diff']:.2e}")
+        print(f"lyapunov log10 slope/step: ours "
+              f"{a['lyapunov_log10_slope_ours']}  control "
+              f"{a['lyapunov_log10_slope_control']}  per-step control "
+              f"{a['lyapunov_log10_slope_control_step']}")
 
     try:
         import matplotlib
