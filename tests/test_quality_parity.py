@@ -90,7 +90,11 @@ def test_vitb_family_training_run_matches():
 
 def test_control_run_reports_divergence_envelope():
     """--control reruns the torch side from rel-1e-7 perturbed init and
-    reports the torch-vs-torch divergence stats next to ours."""
+    with per-step 1e-7 noise, reports both torch-vs-torch envelopes,
+    and runs the trajectory-pinned defect probe: torch params entering
+    probed steps, ported into our model, must reproduce that step's
+    loss to fp32 epsilon (drift = iterated feedback, not a biased
+    step)."""
     qp = _qp()
     report = qp.run(steps=10, bs=8, lr=4e-4, num_images=24,
                     seq_length=8, hw=32, control=True)
@@ -98,3 +102,12 @@ def test_control_run_reports_divergence_envelope():
     assert "control_max_rel_diff_all" in a
     assert np.isfinite(a["control_max_rel_diff_all"])
     assert len(report["control"]["losses"]) == 10
+    assert "control_step_max_rel_diff_all" in a
+    assert np.isfinite(a["control_step_max_rel_diff_all"])
+
+    d = report["trajectory_defect"]
+    # probes include step 0, both sides of the boundary, and the tail
+    assert 0 in d["steps"] and (len(report["torch"]["losses"]) - 1) \
+        in d["steps"]
+    # fp32-epsilon agreement at EVERY probe — this is the core claim
+    assert a["trajectory_defect_max_rel_loss_diff"] < 1e-5, d
