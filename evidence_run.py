@@ -112,7 +112,8 @@ def run_gt(args):
         state, _ = ckptlib.restore_checkpoint(summary["save_path"], state)
     final = dense_eval.eval_split_gt(
         model, {"params": state.params}, loader, split=2,
-        batch_size=cfg.eval_batch_size, max_regions=cfg.max_regions)
+        batch_size=cfg.eval_batch_size, max_regions=cfg.max_regions,
+        return_records=True)
     printable = {k: v for k, v in summary.items()
                  if k not in ("state", "model", "loader")}
     printable["final_test"] = final
@@ -184,7 +185,8 @@ def run_rpn(args):
         state, _ = ckptlib.restore_checkpoint(cfg.save_path, state)
     final = dense_driver.eval_split_rpn(
         model, {"params": state.params}, loader, split=2,
-        max_regions=cfg.max_regions)
+        max_regions=cfg.max_regions,
+        return_records=True)
     printable = {k: v for k, v in summary.items()
                  if k not in ("state", "model", "loader")}
     printable["final_test"] = final

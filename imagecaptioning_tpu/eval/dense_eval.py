@@ -312,7 +312,8 @@ class GTDenseCaptioningEvaluator:
 def eval_split_gt(model, variables, loader, *, split: int = 1,
                   batch_size: int = 2, max_regions: Optional[int] = None,
                   max_images: int = -1, use_beam: bool = False,
-                  beam_size: int = 3) -> Dict:
+                  beam_size: int = 3,
+                  return_records: bool = False) -> Dict:
     """The `eval_gt.eval_split` loop (`eval_gt.py:170-236`) over our
     GTDenseCaptioner: per batch, eval-mode loss + per-region greedy/beam
     captions; per image, `addResult(gt_boxes, captions, gt_captions)`.
@@ -364,8 +365,14 @@ def eval_split_gt(model, variables, loader, *, split: int = 1,
             evaluator.addResult(batch["boxes"][i][m], captions, gt_caps)
             seen += 1
 
-    return {
+    out = {
         "loss_results": float(np.mean(losses)) if losses else None,
         "ap_results": evaluator.evaluate(),
         "num_images": seen,
     }
+    if return_records:
+        # per-region decoded captions next to their merged-GT references
+        out["records"] = [{"candidate": r["candidate"],
+                           "references": r["references"]}
+                          for r in evaluator.records]
+    return out

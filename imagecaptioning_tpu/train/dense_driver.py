@@ -386,7 +386,8 @@ def make_rpn_train_step(model: DenseCapRPN, tx, dtype):
 
 def eval_split_rpn(model: DenseCapRPN, variables, loader, *,
                    split: int = 1, max_regions: Optional[int] = None,
-                   max_images: int = -1, score_thresh: float = -10.0) -> Dict:
+                   max_images: int = -1, score_thresh: float = -10.0,
+                   return_records: bool = False) -> Dict:
     """The `DenseCap/eval/eval_utils.eval_split` protocol over our RPN
     model: forward_test detections + greedy captions per image, full
     DenseCap mAP."""
@@ -419,7 +420,12 @@ def eval_split_rpn(model: DenseCapRPN, variables, loader, *,
             evaluator.addResult(s[k], b[k], caps, batch["boxes"][0][m],
                                 gt_caps)
         seen += 1
-    return {"ap_results": evaluator.evaluate(), "num_images": seen}
+    out = {"ap_results": evaluator.evaluate(), "num_images": seen}
+    if return_records:
+        out["records"] = [{"candidate": r["candidate"],
+                           "references": r.get("references", [])}
+                          for r in evaluator.records]
+    return out
 
 
 def train_rpn(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
