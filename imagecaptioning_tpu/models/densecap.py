@@ -256,6 +256,12 @@ class DenseCapRPN(nn.Module):
     end_reg_weight: float = 0.1
     caption_weight: float = 1.0
     box_reg_decay: float = 5e-5
+    # tw/th clipped to ±this before exp in the box transform. 10.0 =
+    # the reference's own garbage threshold (its regression criterion
+    # discards |t| > 10, BoxRegressionCriterion.py:18-25); the clamp
+    # extends that contract to the forward so exp can't overflow → NaN
+    # at aggressive learning rates. Detectron clamps the same way.
+    box_transform_clamp: float = 10.0
     vgg_stages: int = 5           # trunk depth (5 = full VGG16; tests shrink)
     use_pallas_roi: bool = False  # explicit Pallas ROI kernel (TPU path)
     # False = the reference's detection-only RoiModel (RoiModel.py:198-239):
@@ -298,7 +304,8 @@ class DenseCapRPN(nn.Module):
         anchors = jnp.transpose(anchors, (1, 2, 0, 3)).reshape(-1, 4)
         scores = scores.reshape(n, -1)
         trans = trans.reshape(n, hf, wf, k, 4).reshape(n, -1, 4)
-        proposals = boxlib.apply_box_transform(anchors[None], trans)
+        proposals = boxlib.apply_box_transform(
+            anchors[None], trans, max_log_scale=self.box_transform_clamp)
         return RPNOutput(proposals, scores, trans, anchors)
 
     def _region_codes(self, feats_i, boxes, image_hw, train):
@@ -447,7 +454,8 @@ class DenseCapRPN(nn.Module):
         def per_image(boxes_kept, keep, codes):
             obj = self.objectness(codes)[:, 0]
             refined = boxlib.apply_box_transform(
-                boxes_kept, self.box_reg(codes.astype(jnp.float32)))
+                boxes_kept, self.box_reg(codes.astype(jnp.float32)),
+                max_log_scale=self.box_transform_clamp)
             # final NMS on refined boxes
             fidx, fkeep = nms(refined, obj, final_nms_thresh,
                               self.test_proposals,

@@ -10,6 +10,8 @@ preprocessor, `x1y1x2y2` corners, `xywh` top-left + size.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -96,11 +98,23 @@ def make_anchors(anchor_wh: jnp.ndarray, x0: float, y0: float,
 
 
 def apply_box_transform(anchors: jnp.ndarray,
-                        trans: jnp.ndarray) -> jnp.ndarray:
+                        trans: jnp.ndarray,
+                        max_log_scale: Optional[float] = None) -> jnp.ndarray:
     """(tx, ty, tw, th) deltas → boxes: x = xa + tx·wa, w = wa·exp(tw)
-    (reference ApplyBoxTransform.py:42-46)."""
+    (reference ApplyBoxTransform.py:42-46).
+
+    `max_log_scale` clips tw/th before the exp (Detectron-style
+    scale clamp). The reference's forward is unclamped but its
+    regression criterion already discards |t| > 10 as garbage
+    (BoxRegressionCriterion.py:18-25, the "DIRTY HACK"); clamping the
+    forward at the same threshold keeps the two consistent and stops
+    exp overflow → NaN at aggressive learning rates. None = reference
+    behavior."""
     xa, ya, wa, ha = jnp.split(anchors, 4, axis=-1)
     tx, ty, tw, th = jnp.split(trans, 4, axis=-1)
+    if max_log_scale is not None:
+        tw = jnp.clip(tw, -max_log_scale, max_log_scale)
+        th = jnp.clip(th, -max_log_scale, max_log_scale)
     return jnp.concatenate(
         [xa + tx * wa, ya + ty * ha, wa * jnp.exp(tw), ha * jnp.exp(th)],
         axis=-1)

@@ -63,6 +63,25 @@ class TestBoxOps:
         np.testing.assert_allclose(np.asarray(back), np.asarray(trans),
                                    rtol=1e-3, atol=1e-4)
 
+    def test_apply_box_transform_log_scale_clamp(self):
+        """max_log_scale caps exp growth (Detectron-style; threshold
+        matches the reference criterion's |t| > 10 garbage mask) —
+        diverged deltas must not overflow fp32 into inf/NaN."""
+        anchors = jnp.asarray([[50.0, 50.0, 20.0, 20.0]])
+        wild = jnp.asarray([[0.0, 0.0, 200.0, -200.0]])   # exp(200) = inf
+        unclamped = B.apply_box_transform(anchors, wild)
+        assert not bool(jnp.isfinite(unclamped).all())    # ref behavior
+        clamped = B.apply_box_transform(anchors, wild, max_log_scale=10.0)
+        assert bool(jnp.isfinite(clamped).all())
+        np.testing.assert_allclose(np.asarray(clamped)[0, 2],
+                                   20.0 * np.exp(10.0), rtol=1e-5)
+        # identity for in-range deltas: clamp is inactive below ±10
+        mild = jnp.asarray([[0.1, -0.2, 0.3, -0.4]])
+        np.testing.assert_allclose(
+            np.asarray(B.apply_box_transform(anchors, mild,
+                                             max_log_scale=10.0)),
+            np.asarray(B.apply_box_transform(anchors, mild)))
+
     def test_field_centers_vgg(self):
         # 4 maxpools (VGG16 through conv5): x0 = 1+0.5+1+2+4 = 8.5? compute:
         x0, y0, sx, sy = B.field_centers(4)
