@@ -104,6 +104,12 @@ class CaptionConfig:
     # loads torchvision weights at construction, LSTMModel.py:18-27).
     # 'path.npz' or 'module=path.npz,...'; see utils/pretrained.py.
     encoder_init: str = ""
+    # Device-resident dataset (data/device_store.py): stage the whole
+    # uint8 train split in HBM once and feed the step index batches
+    # (512 B each) instead of image batches (~15 MB each). 'auto' = on
+    # when the split fits the HBM budget and the images are RAM-cached;
+    # 'on' forces it; 'off' keeps the streaming prefetch path.
+    device_resident_data: str = "auto"
 
     def replace(self, **kw) -> "CaptionConfig":
         return replace(self, **kw)

@@ -125,19 +125,34 @@ class AlexDataLoader:
         return images, labels, info_table, attrs
 
     # --- TPU feeding ----------------------------------------------------
+    def epoch_position_batches(self, split_val: int, batch_size: int,
+                               shuffle: bool = False,
+                               start: int = 0) -> Iterator[np.ndarray]:
+        """Yield sorted SPLIT-LOCAL position batches (indices into the
+        split's own 0..n-1 range) covering the split once, ragged tail
+        dropped. This is the single source of batch order: the streaming
+        path maps positions to global ids and gathers on the host; the
+        device-resident path ships the positions (512 B/batch) and
+        gathers in HBM — both see identical batches by construction."""
+        n = len(self.split_ix[split_val])
+        pos = np.arange(n)
+        if shuffle:
+            pos = self._rng.permutation(pos)
+        if start:
+            pos = pos[start % n:]
+        for s in range(0, len(pos) - batch_size + 1, batch_size):
+            yield np.sort(pos[s:s + batch_size])
+
     def epoch_batches(self, split_val: int, batch_size: int,
                       shuffle: bool = False,
                       start: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Yield (images_u8, labels) covering a split once, dropping the
         ragged tail (static shapes for jit). `start` skips that many
         leading images — the sequential-mode resume cursor."""
-        ix = np.asarray(self.split_ix[split_val])
-        if shuffle:
-            ix = self._rng.permutation(ix)
-        if start:
-            ix = ix[start % len(ix):]
-        for s in range(0, len(ix) - batch_size + 1, batch_size):
-            sel = np.sort(ix[s:s + batch_size])
+        ix_arr = np.asarray(self.split_ix[split_val])
+        for p in self.epoch_position_batches(split_val, batch_size,
+                                             shuffle=shuffle, start=start):
+            sel = ix_arr[p]      # sorted: ix_arr ascending, p sorted
             if isinstance(self.images, np.ndarray):
                 # native multi-threaded gather (C++ fastloader) when built
                 from imagecaptioning_tpu.native import gather_records
@@ -146,6 +161,20 @@ class AlexDataLoader:
                 images = np.stack([np.asarray(self.images[int(i)])
                                    for i in sel])
             yield images, self.labels[self.img_to_first_phr[sel]]
+
+    def resident_arrays(self, split_val: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(images_u8 (n,H,W,3), labels (n,T)) for a whole split in
+        split-local position order — the host-side source for staging
+        the split in device HBM (`data.device_store`). One contiguous
+        copy; positions from `epoch_position_batches` index it directly."""
+        ix_arr = np.asarray(self.split_ix[split_val])
+        if isinstance(self.images, np.ndarray):
+            from imagecaptioning_tpu.native import gather_records
+            images = gather_records(self.images, ix_arr)
+        else:
+            images = np.stack([np.asarray(self.images[int(i)])
+                               for i in ix_arr])
+        return images, self.labels[self.img_to_first_phr[ix_arr]]
 
 
 def prefetch_batches(it: Iterator, size: int = 2,

@@ -13,8 +13,9 @@ Pipeline (reference `preprocess.py:363-424`):
   img_to_first/last_box 1-indexed slabs + box_to_img (`:185-223`).
 
 All quirks kept: boxes round with `round()` then `floor(w/2)` center
-arithmetic, clamping increments the `*wasbad` counters, slab pointers
-are 1-indexed inclusive.
+arithmetic, upper-bound clamps increment the `*wasbad` counters (printed
+as the reference's diagnostic line, `:182`; the x<0/y<0 fixes are silent
+there too), slab pointers are 1-indexed inclusive.
 """
 
 from __future__ import annotations
@@ -112,6 +113,7 @@ def encode_boxes(data: List[Dict], original_heights, original_widths,
     """Scale 1-indexed (x, y, w, h) to resized coords, clamp, convert to
     integer (xc, yc, w, h) — bitwise the reference math (:146-183)."""
     all_boxes = []
+    xwasbad = ywasbad = wwasbad = hwasbad = 0   # clamp counters (:148-151)
     for i, img in enumerate(data):
         h0, w0 = original_heights[i], original_widths[i]
         scale = float(image_size) / max(h0, w0)
@@ -128,16 +130,23 @@ def encode_boxes(data: List[Dict], original_heights, original_widths,
                 y = 0
             if x > image_size - 1:
                 x = image_size - 1
+                xwasbad += 1
             if y > image_size - 1:
                 y = image_size - 1
+                ywasbad += 1
             if x + w > image_size:
                 w = image_size - x
+                wwasbad += 1
             if y + h > image_size:
                 h = image_size - y
+                hwasbad += 1
             box = np.asarray([x + floor(w / 2), y + floor(h / 2), w, h],
                              np.int32)
             assert box[2] >= 0 and box[3] >= 0
             all_boxes.append(box)
+    # the reference's clamp diagnostic (:182) — only the upper-bound
+    # clamps count; x<0/y<0 fixes are silent there too
+    print("number of bad x,y,w,h: ", xwasbad, ywasbad, wwasbad, hwasbad)
     return np.vstack(all_boxes)
 
 

@@ -237,12 +237,14 @@ class DenseCaptioningEvaluator:
                     det_results[f"ov{min_overlap}"] = ap
                 else:
                     ap_results[f"ov{min_overlap}score{min_score}"] = ap
+        from imagecaptioning_tpu.eval.scorer import scorer_provenance
         return {
             "map": _average_values(ap_results),
             "ap_breakdown": ap_results,
             "detmap": _average_values(det_results),
             "det_breakdown": det_results,
             "meteor": blob["average_score"],
+            "scorer": scorer_provenance(),
         }
 
 
@@ -300,10 +302,12 @@ class GTDenseCaptioningEvaluator:
                     fp[i] = 1
             ap_results[f"score{min_score}"] = _interpolated_ap(
                 tp, fp, self.npos)
+        from imagecaptioning_tpu.eval.scorer import scorer_provenance
         return {
             "map": _average_values(ap_results),
             "ap_breakdown": ap_results,
             "meteor": blob["average_score"],
+            "scorer": scorer_provenance(),
         }
 
 

@@ -26,6 +26,28 @@ class _EmptyWordnet:
         return []
 
 
+_PROVENANCE_CACHE: Dict = {}
+
+
+def scorer_provenance() -> Dict:
+    """Which METEOR path this host runs: with the wordnet corpus, or the
+    `_EmptyWordnet` degradation (synonym stage finds nothing). Stamped
+    into every eval artifact so committed METEOR numbers carry their
+    provenance — scores from wordnet-less hosts are systematically a
+    touch lower and must not be compared against wordnet-full ones."""
+    if not _PROVENANCE_CACHE:
+        import nltk
+        try:
+            from nltk.corpus import wordnet
+            wordnet.synsets("dog")
+            available = True
+        except LookupError:
+            available = False
+        _PROVENANCE_CACHE.update({"wordnet_available": available,
+                                  "nltk": nltk.__version__})
+    return dict(_PROVENANCE_CACHE)
+
+
 def meteor_pair(references_tok, candidate_tok) -> float:
     from nltk.translate.meteor_score import meteor_score
     try:
@@ -85,14 +107,16 @@ def score_captions(records: Sequence[Dict], num_workers: int = 8) -> Dict:
     {'meteor': mean, 'bleu': mean sentence-BLEU (reference protocol),
     'bleu4': corpus BLEU-4, 'cider': CIDEr-D}."""
     if not records:
-        return {"meteor": 0.0, "bleu": 0.0, "bleu4": 0.0, "cider": 0.0}
+        return {"meteor": 0.0, "bleu": 0.0, "bleu4": 0.0, "cider": 0.0,
+                "scorer": scorer_provenance()}
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
         scores = list(pool.map(
             lambda r: _score_pair(r["candidate"], r["references"]), records))
     n = len(scores)
     return {"meteor": sum(s[0] for s in scores) / n,
             "bleu": sum(s[1] for s in scores) / n,
-            **_corpus_scores(records)}
+            **_corpus_scores(records),
+            "scorer": scorer_provenance()}
 
 
 @dataclass

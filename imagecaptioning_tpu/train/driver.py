@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from imagecaptioning_tpu.config import CaptionConfig, name_model
-from imagecaptioning_tpu.data import synthetic, transforms
+from imagecaptioning_tpu.data import device_store, synthetic, transforms
 from imagecaptioning_tpu.data.loader import AlexDataLoader, prefetch_batches
 from imagecaptioning_tpu.eval.eval_split import eval_split
 from imagecaptioning_tpu.models import api
@@ -66,6 +66,25 @@ def _batch_iterator(loader, cfg, batch_size, start_images: int = 0):
         else:
             yield from loader.epoch_batches(0, batch_size, shuffle=True)
         start_images = 0
+
+
+def _resident_mode(cfg: CaptionConfig, loader) -> bool:
+    """Decide the input path. 'on'/'off' are forced; 'auto' stages the
+    train split in HBM when the images are RAM-cached numpy (not a lazy
+    h5 handle) and the split fits the device memory budget."""
+    mode = getattr(cfg, "device_resident_data", "off")
+    if mode == "off":
+        return False
+    if mode == "on":
+        return True
+    if not isinstance(loader.images, np.ndarray):
+        return False      # lazy h5: staging would re-read the whole file
+    n = len(loader.split_ix[0])
+    if n == 0:
+        return False
+    per_image = int(np.prod(loader.images.shape[1:]))   # uint8 bytes
+    nbytes = n * (per_image + loader.labels.shape[1] * 4)
+    return device_store.fits(nbytes)
 
 
 def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
@@ -166,10 +185,46 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
     steps_per_epoch_data = max(len(loader.split_ix[0]) // bs, 1)
     start_images = ((start_iter % steps_per_epoch_data) * bs
                     if cfg.iterate else 0)
-    batches = prefetch_batches(
-        _batch_iterator(loader, cfg, bs, start_images=start_images), size=2)
     data_sharding = meshlib.data_sharding(device_mesh)
     put = partial(jax.device_put, device=data_sharding)
+
+    # Input path: device-resident HBM store (index batches only — the
+    # TPU-native default) or the streaming host-gather + prefetch +
+    # device_put pipeline. Both are driven by epoch_position_batches,
+    # so batch order is identical either way.
+    resident = _resident_mode(cfg, loader)
+    if resident:
+        store = device_store.stage_split(loader, 0, mesh=device_mesh)
+        res_train = device_store.shard_resident_train_step(
+            device_store.make_resident_train_step(
+                steplib.make_train_step(model, tx, preprocess=preprocess)),
+            device_mesh)
+        res_frozen = (device_store.shard_resident_train_step(
+            device_store.make_resident_train_step(
+                steplib.make_train_step(frozen_model, tx,
+                                        preprocess=preprocess)),
+            device_mesh) if frozen_model is not None else None)
+        feed = device_store.index_stream(loader, 0, bs, iterate=cfg.iterate,
+                                         start_images=start_images)
+
+        def run_step(state, item, frozen: bool):
+            fn = res_frozen if (frozen and res_frozen is not None) \
+                else res_train
+            return fn(state, store, np.asarray(item, np.int32))
+        if verbose:
+            print(f"train split resident in device memory "
+                  f"({store.nbytes / 2**20:.0f} MiB)")
+    else:
+        feed = prefetch_batches(
+            _batch_iterator(loader, cfg, bs, start_images=start_images),
+            size=2)
+
+        def run_step(state, item, frozen: bool):
+            images_u8, labels = item
+            fn = frozen_step if (frozen and frozen_step is not None) \
+                else train_step
+            return fn(state, put(jnp.asarray(images_u8)),
+                      put(jnp.asarray(labels)))
 
     it = start_iter
     last_loss = float("nan")
@@ -177,7 +232,7 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
     # even when the loop raises.
     try:
         with ckptlib.SignalCheckpointer() as sig:
-            for images_u8, labels in batches:
+            for item in feed:
                 if it >= max_iter:
                     break
                 if sig.save_if_requested(
@@ -187,11 +242,7 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
                         print(f"preemption checkpoint written at iter {it}")
                     break
                 t0 = time.perf_counter()
-                step_fn = (frozen_step
-                           if (frozen_step is not None
-                               and it < finetune_start) else train_step)
-                state, metrics = step_fn(state, put(jnp.asarray(images_u8)),
-                                         put(jnp.asarray(labels)))
+                state, metrics = run_step(state, item, it < finetune_start)
                 last_loss = float(metrics["loss"])   # sync = step boundary
                 step_ms = (time.perf_counter() - t0) * 1000.0
                 it += 1

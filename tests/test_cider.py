@@ -78,12 +78,19 @@ class TestScorerCorpusMetrics:
              "references": ["the blue bird flies high"]},
         ]
         out = score_captions(records)
-        assert set(out) == {"meteor", "bleu", "bleu4", "cider"}
+        assert set(out) == {"meteor", "bleu", "bleu4", "cider", "scorer"}
         assert out["bleu4"] == pytest.approx(1.0)
         assert out["cider"] == pytest.approx(10.0, abs=1e-9)
         assert out["meteor"] > 0.9
+        # every eval artifact carries its METEOR provenance (VERDICT r3):
+        # wordnet-less hosts degrade the synonym stage and must be
+        # distinguishable from wordnet-full ones in committed numbers
+        assert isinstance(out["scorer"]["wordnet_available"], bool)
+        assert isinstance(out["scorer"]["nltk"], str)
 
     def test_empty_records(self):
         out = score_captions([])
+        scorer_stamp = out.pop("scorer")
+        assert isinstance(scorer_stamp["wordnet_available"], bool)
         assert out == {"meteor": 0.0, "bleu": 0.0, "bleu4": 0.0,
                        "cider": 0.0}
