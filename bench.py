@@ -12,10 +12,17 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Built to survive a cold, flaky, or DOWN TPU relay — the capture emits a
 parseable JSON line in EVERY relay state:
-- an orchestrator/child split: backend init is probed in killable
-  subprocesses with bounded retry+backoff (a hung `jax.devices()` can
-  never be interrupted in-process — BENCH_r01 died exactly there), and
-  the real device measurement runs in a killable child (`--direct`);
+- an orchestrator/child split: the whole measurement (backend init,
+  prewarm, compile, measure) runs in ONE killable child per attempt
+  (a hung `jax.devices()` can never be interrupted in-process —
+  BENCH_r01 died exactly there; and each extra backend client per
+  invocation is another chance to wedge the relay, so there is no
+  separate probe process). The orchestrator kills + retries a child
+  whose init emits no `backend_up` marker within --probe-timeout;
+- PROVISIONAL measurement lines stream to stdout after the child's
+  FIRST completed call (and again after calibration) — a capture
+  killed mid-window still carries a real device number (BENCH_r03
+  died with none);
 - if the backend never comes up (or the child dies/hangs), the
   orchestrator prints a structured-error JSON line for the requested
   metric and then runs the backend-free host input-pipeline measurement
@@ -66,6 +73,8 @@ def requested_metric_name(args) -> str:
         return f"gt_dense_train_regions_per_sec_img{args.image_size}"
     if args.metric == "dense-decode":
         return f"rpn_dense_decode_regions_per_sec_img{args.image_size}"
+    if args.metric == "transfer":
+        return "host_to_device_put_MB_per_sec"
     name = FAMILY_METRICS[args.family][0]
     if args.metric == "decode":
         return name.replace("_train_images_per_sec",
@@ -73,6 +82,16 @@ def requested_metric_name(args) -> str:
     if args.metric == "e2e":
         return name.replace("_train_", "_e2e_train_")
     return name
+
+
+def _spc_ladder(args):
+    """steps-per-call escalation: an explicit --steps-per-call runs
+    alone; the default measures at spc=1 first (cheapest legitimate
+    device number, emitted before anything expensive compiles) and then
+    re-measures at the dispatch-amortized spc=10 with leftover budget."""
+    if args.steps_per_call is not None:
+        return [max(args.steps_per_call, 1)]
+    return [1, 10]
 
 
 def hb(msg: str) -> None:
@@ -97,7 +116,10 @@ def start_watchdog(interval: float = 30.0) -> None:
 
 
 def setup_jax():
-    """Compilation cache + platform override, before backend init."""
+    """Compilation cache + platform override, then backend init + a
+    one-op prewarm. Emits the `backend_up` / `prewarmed` stderr markers
+    the orchestrator watches: no marker within its init timeout → the
+    child is hung in backend init and gets killed + retried."""
     phase("importing jax")
     import jax
     # Honor an explicit JAX_PLATFORMS env even when a TPU-tunnel
@@ -110,7 +132,7 @@ def setup_jax():
             pass
     phase("acquiring devices (backend init)")
     devs = jax.devices()
-    hb(f"devices: {devs}")
+    hb(f"backend_up devices: {devs}")
     if devs[0].platform != "cpu":
         # Persistent compilation cache: a re-run (or the driver's run
         # after ours) skips the whole ResNet-101 scan compile. Set
@@ -126,6 +148,14 @@ def setup_jax():
             except (AttributeError, ValueError):
                 pass
         hb(f"compilation cache at {cache}")
+    # Prewarm: compile+execute+readback one trivial program so a relay
+    # that enumerates devices but cannot run programs fails HERE (still
+    # cheap to kill+retry) and not inside the big train scan.
+    phase("prewarm (1-op jit)")
+    import jax.numpy as jnp
+    t0 = time.time()
+    val = float(jax.jit(lambda x: x + 1)(jnp.float32(1)))
+    hb(f"prewarmed ({val:.0f}) in {time.time() - t0:.1f}s")
     return jax
 
 
@@ -147,6 +177,11 @@ def emit(payload: dict, args, device_meta: bool = True) -> None:
             })
         else:
             rec.update({"platform": "host"})
+        if rec.get("platform") == "cpu":
+            # CPU runs are verification smokes, not perf evidence —
+            # print the line but keep the committed artifact TPU/host-only
+            hb("cpu platform: line not appended to results artifact")
+            return
         rec.update({
             "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "argv": sys.argv[1:],
@@ -161,7 +196,7 @@ def emit(payload: dict, args, device_meta: bool = True) -> None:
         hb(f"artifact write failed (non-fatal): {e}")
 
 
-def measure_chained(call, sync, batch_items: int, args):
+def measure_chained(call, sync, batch_items: int, args, payload_fn=None):
     """Timed measurement of a chained-dispatch `call()` stream.
 
     `call()` advances the computation one dispatch (carrying device
@@ -170,24 +205,52 @@ def measure_chained(call, sync, batch_items: int, args):
     one synced calibration call estimates the per-call cost, then as
     many chained calls as fit the measurement window / budget run with
     a single final sync (per-call syncs would bill relay latency to
-    the device)."""
+    the device).
+
+    Never exits with zero evidence after a completed call: when
+    `payload_fn(items, seconds, provisional_reason)` is given, a
+    PROVISIONAL measurement line is emitted after the FIRST completed
+    call (compile included — an underestimate) and again after the
+    calibration call, so a capture killed mid-window still carries a
+    real device number (BENCH_r03 died with none exactly here)."""
     deadline = T0 + args.budget
     phase("warmup call")
+    t0 = time.perf_counter()
     call(); sync()
+    warm_dt = max(time.perf_counter() - t0, 1e-3)
+    hb(f"warmup (incl. compile): {warm_dt:.1f}s")
+    if payload_fn is not None:
+        emit(payload_fn(batch_items, warm_dt, "first_call_incl_compile"),
+             args)
     phase("calibration call")
     t0 = time.perf_counter()
     call(); sync()
     est = max(time.perf_counter() - t0, 1e-3)
     hb(f"calibration: {est:.3f}s/call "
        f"(~{batch_items / est:.0f} items/sec incl. sync)")
+    if payload_fn is not None:
+        emit(payload_fn(batch_items, est, "single_call"), args)
     room = max(deadline - time.time() - 10.0, est)  # keep 10s slack
     n_calls = int(max(1, min(args.max_calls,
                              min(args.measure_s, room) / est)))
-    phase(f"measuring: {n_calls} chained calls")
+    trace_dir = getattr(args, "trace", None)
+    if trace_dir:
+        # Profiler capture of the measured window (MFU attribution,
+        # docs/SCALING.md): device + host timelines land as an
+        # .xplane.pb under trace_dir.
+        import contextlib
+        import jax
+        tracer = jax.profiler.trace(trace_dir)
+    else:
+        import contextlib
+        tracer = contextlib.nullcontext()
+    phase(f"measuring: {n_calls} chained calls"
+          + (f" (traced -> {trace_dir})" if trace_dir else ""))
     t0 = time.perf_counter()
-    for _ in range(n_calls):
-        call()
-    sync()
+    with tracer:
+        for _ in range(n_calls):
+            call()
+        sync()
     dt = time.perf_counter() - t0
     hb(f"measured {n_calls} calls in {dt:.2f}s")
     return n_calls * batch_items, dt
@@ -205,7 +268,7 @@ def bench_decode(args):
     from imagecaptioning_tpu.models import api
 
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
-    fam = _family_table()[args.family]
+    fam = _family_table(args)[args.family]
     phase(f"building {args.family} model (bs={args.batch_size})")
     model = fam["make"](args.vocab, args.seq_length, dtype)
     rng = np.random.RandomState(0)
@@ -304,7 +367,7 @@ def bench_dense(args):
     step_fn = dense_driver.make_gt_train_step(model, tx,
                                               use_curriculum=False,
                                               dtype=dtype)
-    spc = max(args.steps_per_call, 1)
+    spc = max(args.steps_per_call or 10, 1)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_many(state):
@@ -407,6 +470,64 @@ def bench_dense_decode(args):
     }, args)
 
 
+def bench_transfer(args):
+    """Host→device transfer microbenchmark: `jax.device_put` bandwidth
+    at several payload sizes, pipelined at the prefetch queue's depth
+    and also fully synced per put. This ATTRIBUTES the streaming-e2e
+    number: a bs-128 uint8 Face2Text batch is ~14.2 MiB, so the
+    streaming path can never beat (measured MB/s ÷ 0.111 MB/img) img/s
+    end-to-end regardless of device speed — the device-resident path
+    (--metric e2e) exists exactly because of this ceiling. No reference
+    counterpart (vs_baseline null)."""
+    import jax
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    phase("transfer warmup")
+    int(np.asarray(jax.device_put(np.ones(8, np.uint8))[-1]))
+    per_size = {}
+    deadline = T0 + args.budget - 15.0
+
+    def timed_puts(payload, reps, depth):
+        """`reps` device_puts, `depth` in flight (the prefetch queue
+        shape), completion forced by a 1-element readback per buffer —
+        large device→host readbacks are pathologically slow through
+        the relay and would corrupt the measurement."""
+        t0 = time.perf_counter()
+        pending = []
+        for _ in range(reps):
+            pending.append(jax.device_put(payload))
+            if len(pending) >= depth:
+                int(np.asarray(pending.pop(0)[-1]))
+        for buf in pending:
+            int(np.asarray(buf[-1]))
+        return time.perf_counter() - t0
+
+    for mb in (1, 4, 15, 60):
+        if time.time() > deadline:
+            break
+        payload = rng.randint(0, 256, size=(mb * 2**20,), dtype=np.uint8)
+        phase(f"transfer: {mb} MB payloads")
+        one = timed_puts(payload, 1, 1)          # synced single put
+        room = max(deadline - time.time(), one)
+        reps = int(max(1, min(16, min(args.measure_s, room) / one)))
+        dt = timed_puts(payload, reps, 4)        # pipelined, depth 4
+        per_size[f"{mb}MB"] = {
+            "pipelined_MB_per_sec": round(mb * reps / dt, 2),
+            "single_put_s": round(one, 3),
+        }
+        hb(f"{mb} MB: {per_size[f'{mb}MB']}")
+    key = "15MB" if "15MB" in per_size else sorted(per_size)[-1]
+    emit({
+        "metric": "host_to_device_put_MB_per_sec",
+        "value": per_size[key]["pipelined_MB_per_sec"],
+        "unit": "MB/sec",
+        "vs_baseline": None,
+        "payload": key,
+        "per_size": per_size,
+    }, args)
+
+
 def bench_input(args):
     """Host input pipeline: RAM-cached uint8 store -> C++ fastloader
     multi-threaded gather -> stacked batches, via the background
@@ -454,23 +575,36 @@ def bench_input(args):
 
 
 def bench_e2e(args):
-    """Sustained END-TO-END training throughput: the real host input
-    path (RAM-cached uint8 store → AlexDataLoader epoch batches → C++
-    fastloader gather → background prefetch thread → device_put) feeds
-    the SAME donated train step as --metric train, one fresh host batch
-    per step. One number proving the input pipeline keeps the device
-    fed — the reference's step time includes its loader
-    (train_LSTM.py:77-90), and the device-only metric alone can't show
-    the loader never bottlenecks."""
+    """Sustained END-TO-END training throughput: the full input path
+    feeding the SAME donated train step as --metric train, one fresh
+    batch per step. The reference's step time includes its loader
+    (`train_LSTM.py:77-90` wraps `get_batch` + the h5 read), so the 115
+    img/s baseline IS an end-to-end number and vs_baseline here is the
+    like-for-like comparison (the device-only --metric train figure is
+    the input-free upper bound).
+
+    Two input paths (`input_path` field in the record):
+    - `device_resident` (default, the production path when the dataset
+      fits HBM — Face2Text is ~1 GB vs 16 GB): the whole uint8 store is
+      staged on device ONCE (`data/device_store.py`, staging time
+      recorded); each step ships a (B,)-int32 index batch (512 B) and
+      gathers + preprocesses in HBM inside the donated program.
+    - `stream` (--e2e-stream, the fallback when the store outgrows
+      HBM): host gather (C++ fastloader) → background prefetch thread →
+      per-batch `jax.device_put` of ~15 MB uint8. Through the remote
+      TPU relay this is transfer-bound (see --metric transfer for the
+      measured device_put ceiling)."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    from imagecaptioning_tpu.data import synthetic, transforms
+    from imagecaptioning_tpu.data import (device_store, synthetic,
+                                          transforms)
     from imagecaptioning_tpu.data.loader import (AlexDataLoader,
                                                  prefetch_batches)
     from imagecaptioning_tpu.train import optim, step as steplib
 
-    fam = _family_table()[args.family]
+    fam = _family_table(args)[args.family]
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     b = args.batch_size
     phase("building synthetic store")
@@ -497,43 +631,100 @@ def bench_e2e(args):
                                           preprocess(jnp.asarray(imgs0)),
                                           jnp.asarray(gt0))
     step_fn = steplib.make_train_step(model, tx, preprocess=preprocess)
-    train_one = jax.jit(step_fn, donate_argnums=(0,))
-
-    def epochs():
-        while True:
-            yield from loader.epoch_batches(0, b)
-
-    it = prefetch_batches(epochs(), size=4)   # host thread + device_put
-
-    # Steps chain through the donated TrainState; dispatches run ahead
-    # of the device while the prefetch thread keeps producing — the
-    # production overlap. One real host readback per measured window.
-    box = {"state": state, "loss": None}
-    phase("compile: e2e train step")
-
-    def call():
-        images, gt = next(it)
-        box["state"], metrics = train_one(box["state"], images, gt)
-        box["loss"] = metrics["loss"]
-
-    def sync():
-        float(box["loss"])
-
-    items, dt = measure_chained(call, sync, b, args)
-    img_per_sec = items / dt
+    metric = fam["metric"].replace("_train_", "_e2e_train_")
     baseline = fam["baseline"]
-    emit({
-        "metric": fam["metric"].replace("_train_", "_e2e_train_"),
-        "value": round(img_per_sec, 2),
-        "unit": "images/sec",
-        "vs_baseline": (round(img_per_sec / baseline, 3)
-                        if baseline else None),
-    }, args)
+
+    if args.e2e_stream:
+        train_one = jax.jit(step_fn, donate_argnums=(0,))
+
+        def epochs():
+            while True:
+                yield from loader.epoch_batches(0, b)
+
+        it = prefetch_batches(epochs(), size=4)  # host thread+device_put
+        payload_fn = _train_payload_fn(
+            metric, baseline,
+            extra={"input_path": "stream",
+                   "baseline_includes_loader": True})
+
+        # Steps chain through the donated TrainState; dispatches run
+        # ahead of the device while the prefetch thread keeps producing.
+        # One real host readback per measured window.
+        box = {"state": state, "loss": None}
+        phase("compile: e2e train step (stream input)")
+
+        def call():
+            images, gt = next(it)
+            box["state"], metrics = train_one(box["state"], images, gt)
+            box["loss"] = metrics["loss"]
+
+        def sync():
+            float(box["loss"])
+
+        items, dt = measure_chained(call, sync, b, args,
+                                    payload_fn=payload_fn)
+        emit(payload_fn(items, dt), args)
+        return
+
+    # -------- device-resident input path (default) --------
+    phase("staging train split in device memory")
+    t0 = time.perf_counter()
+    store = device_store.stage_split(loader, 0)
+    int(np.asarray(store.labels[0, 0]))      # force staging completion
+    stage_s = time.perf_counter() - t0
+    hb(f"staged {store.nbytes / 2**20:.0f} MiB in {stage_s:.1f}s")
+    res_step = device_store.make_resident_train_step(step_fn)
+    payload_fn = _train_payload_fn(
+        metric, baseline,
+        extra={"input_path": "device_resident",
+               "staging_s": round(stage_s, 2),
+               "store_mib": round(store.nbytes / 2**20, 1),
+               "baseline_includes_loader": True})
+    idx_it = device_store.index_stream(loader, 0, b, iterate=False)
+    box = {"state": state, "loss": None}
+
+    def run_at(spc):
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_many(st, store, idx):
+            def body(st, ib):
+                st, metrics = res_step(st, store, ib)
+                return st, metrics["loss"]
+            st, losses = jax.lax.scan(body, st, idx)
+            return st, losses[-1]
+
+        phase(f"compile: resident e2e train scan (spc={spc})")
+
+        def call():
+            # fresh epoch-position indices every call — the live input
+            # path (index generation + a spc*B int32 transfer per call)
+            idx = np.stack([next(idx_it) for _ in range(spc)]) \
+                .astype(np.int32)
+            box["state"], box["loss"] = train_many(box["state"], store,
+                                                   idx)
+
+        def sync():
+            float(box["loss"])
+
+        items, dt = measure_chained(call, sync, spc * b, args,
+                                    payload_fn=payload_fn)
+        emit(payload_fn(items, dt), args)
+        return items / dt
+
+    rate = 0.0
+    for spc in _spc_ladder(args):
+        rate = run_at(spc)
+        if T0 + args.budget - time.time() < 60:
+            break
+    hb(f"final: {rate:.0f} images/sec e2e (device-resident input)")
 
 
 # Per-family definitions: model factory, default batch, metric name +
 # baseline from FAMILY_METRICS.
-def _family_table():
+def _family_table(args=None):
+    """Model factories per family. `args` threads the MFU
+    counter-experiment knobs (--scan-unroll / --attn-bf16, see
+    docs/SCALING.md "Per-family MFU") into the two families they
+    falsify; defaults reproduce the production configuration."""
     import jax.numpy as jnp  # noqa: F401
 
     from imagecaptioning_tpu.config import (
@@ -542,6 +733,8 @@ def _family_table():
     from imagecaptioning_tpu.models.captioners import (
         AttentionCaptioner, LSTMCaptioner, TransformerCaptioner,
         ViTCaptioner)
+    unroll = max(getattr(args, "scan_unroll", 1) or 1, 1)
+    fp32_sm = not getattr(args, "attn_bf16", False)
     table = {
         "lstm": dict(
             make=lambda v, t, d: LSTMCaptioner(
@@ -551,12 +744,14 @@ def _family_table():
         "attention": dict(
             make=lambda v, t, d: AttentionCaptioner(
                 vocab_size=v, embedding_size=1024, rnn_size=768,
-                dropout=0.5, compute_dtype=d, freeze_encoder=True),
+                dropout=0.5, compute_dtype=d, freeze_encoder=True,
+                scan_unroll=unroll),
             cfg=get_lstm_attention_config, batch=128, decode_batch=64),
         "transformer": dict(
             make=lambda v, t, d: TransformerCaptioner(
                 vocab_size=v, max_length=t, embed_size=512, num_layers=6,
-                heads=8, dropout=0.1, compute_dtype=d, freeze_encoder=True),
+                heads=8, dropout=0.1, compute_dtype=d, freeze_encoder=True,
+                fp32_softmax=fp32_sm),
             cfg=get_transformer_config, batch=128, decode_batch=64),
         "vitb": dict(
             make=lambda v, t, d: ViTCaptioner(
@@ -564,9 +759,35 @@ def _family_table():
                 compute_dtype=d, freeze_encoder=True),
             cfg=get_vitb_config, batch=128, decode_batch=64),
     }
+    experiment = []
+    if unroll > 1:
+        experiment.append(f"scan_unroll={unroll}")
+    if not fp32_sm:
+        experiment.append("attn_bf16")
     for name, fam in table.items():
         fam["metric"], fam["baseline"] = FAMILY_METRICS[name]
+        fam["experiment"] = ",".join(experiment) or None
     return table
+
+
+def _train_payload_fn(metric: str, baseline, unit="images/sec", extra=None):
+    """Measurement line factory shared by the train/e2e paths; a
+    non-None `provisional` marks incomplete-measurement lines (first
+    call incl. compile / single calibration call)."""
+    def payload(items, dt, provisional=None):
+        rate = items / dt
+        p = {
+            "metric": metric,
+            "value": round(rate, 2),
+            "unit": unit,
+            "vs_baseline": (round(rate / baseline, 3) if baseline else None),
+        }
+        if extra:
+            p.update(extra)
+        if provisional:
+            p["provisional"] = provisional
+        return p
+    return payload
 
 
 def bench_train(args):
@@ -577,7 +798,7 @@ def bench_train(args):
     from imagecaptioning_tpu.data import transforms
     from imagecaptioning_tpu.train import optim, step as steplib
 
-    fam = _family_table()[args.family]
+    fam = _family_table(args)[args.family]
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     # frozen-encoder phase, exactly the reference's measured
     # configuration (train_LSTM.py:48-54, requires_grad_(False)):
@@ -604,117 +825,143 @@ def bench_train(args):
     x0 = preprocess(images_u8)
     state, _ = steplib.create_train_state(model, tx, x0, gt)
     step_fn = steplib.make_train_step(model, tx, preprocess=preprocess)
+    payload_fn = _train_payload_fn(
+        fam["metric"], fam["baseline"],
+        extra={"experiment": fam["experiment"]} if fam["experiment"]
+        else None)
 
-    # Fuse --steps-per-call real optimizer steps into one XLA program
-    # with lax.scan: host dispatch (expensive through the remote TPU
-    # relay) amortizes across the scan, matching a production loop with
-    # device-resident prefetched batches.
-    spc = max(args.steps_per_call, 1)
-
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_many(state, images, gt):
-        def body(st, _):
-            st, metrics = step_fn(st, images, gt)
-            return st, metrics["loss"]
-        state, losses = jax.lax.scan(body, state, None, length=spc)
-        return state, losses[-1]
-
-    # Calls chain through the donated TrainState, so reading the final
-    # loss forces every step to have executed. Use a real host readback
-    # (float) — block_until_ready does not reliably block through
-    # remote-relay backends.
+    # Fuse steps-per-call real optimizer steps into one XLA program with
+    # lax.scan: host dispatch (expensive through the remote TPU relay)
+    # amortizes across the scan. Escalation: measure at spc=1 FIRST (the
+    # cheapest program that yields a legitimate number — its lines hit
+    # stdout immediately), then re-measure at the amortized spc while
+    # budget remains. A kill at any point leaves the best-so-far line.
+    # Calls chain through the donated TrainState (carried across ladder
+    # stages — the spc=1 program's output state feeds the spc=10 one),
+    # so reading the final loss forces every step to have executed.
+    # Sync = real host readback (float) — block_until_ready does not
+    # reliably block through remote-relay backends.
     box = {"state": state, "loss": None}
-    phase(f"compile: train scan (spc={spc})")
 
-    def call():
-        box["state"], box["loss"] = train_many(box["state"], images_u8, gt)
+    def run_at(spc):
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_many(st, images, gt):
+            def body(st, _):
+                st, metrics = step_fn(st, images, gt)
+                return st, metrics["loss"]
+            st, losses = jax.lax.scan(body, st, None, length=spc)
+            return st, losses[-1]
 
-    def sync():
-        float(box["loss"])
+        phase(f"compile: train scan (spc={spc})")
 
-    items, dt = measure_chained(call, sync, spc * b, args)
-    img_per_sec = items / dt
-    baseline = fam["baseline"]
-    emit({
-        "metric": fam["metric"],
-        "value": round(img_per_sec, 2),
-        "unit": "images/sec",
-        "vs_baseline": (round(img_per_sec / baseline, 3)
-                        if baseline else None),
-    }, args)
+        def call():
+            box["state"], box["loss"] = train_many(box["state"],
+                                                   images_u8, gt)
+
+        def sync():
+            float(box["loss"])
+
+        items, dt = measure_chained(call, sync, spc * b, args,
+                                    payload_fn=payload_fn)
+        emit(payload_fn(items, dt), args)
+        return items / dt
+
+    rate = 0.0
+    for spc in _spc_ladder(args):
+        rate = run_at(spc)
+        if T0 + args.budget - time.time() < 60:
+            break               # no room for another compile+measure
+    hb(f"final: {rate:.0f} items/sec")
 
 
 # ------------------------------------------------------------ orchestrator
 
-# Honor an explicit JAX_PLATFORMS env in the probe even when a
-# TPU-tunnel sitecustomize force-set jax_platforms at interpreter start
-# (same dance as setup_jax).
-_PROBE_SRC = (
-    "import os, jax\n"
-    "w = os.environ.get('JAX_PLATFORMS')\n"
-    "if w and (jax.config.jax_platforms or '') != w:\n"
-    "    jax.config.update('jax_platforms', w)\n"
-    "d = jax.devices()\n"
-    "print(d[0].platform, len(d), flush=True)")
+def run_device_child(args, reserve: float):
+    """ONE killable child per attempt does everything — backend init,
+    prewarm, compile, measure — in a single process (re-exec with
+    --direct). One backend client per attempt matters: the old
+    probe-then-measure design opened TWO sequential relay sessions per
+    invocation, and a lingering/killed session wedges the next client's
+    init (observed repeatedly: `jax.devices()` hangs for minutes right
+    after another client was killed, while a quiet relay inits in
+    0.1s).
 
-
-def probe_backend(args, reserve: float):
-    """Bounded retry-with-backoff backend-init probes, each in its OWN
-    subprocess with its own timeout — a hung `jax.devices()` cannot be
-    interrupted in-process (BENCH_r01 rc=124 died exactly there), but a
-    child can always be killed. Returns (ok, attempts, detail)."""
-    deadline = T0 + args.budget - reserve
+    The orchestrator watches the child's stderr for the `backend_up`
+    marker `setup_jax` emits: no marker within --probe-timeout → the
+    child is hung in backend init → kill + retry (bounded). Once the
+    backend is up the child owns the remaining budget. Measurement
+    lines stream to stdout LIVE, so a provisional number emitted after
+    the child's first completed call survives any later kill.
+    Returns (ok, attempts, detail)."""
     attempts, detail = 0, ""
-    while attempts < args.probe_attempts and time.time() < deadline - 5:
+    while attempts < args.probe_attempts:
+        remaining = T0 + args.budget - reserve - time.time()
+        if remaining < 30:
+            return False, attempts, detail or "no budget left"
         attempts += 1
-        per = min(args.probe_timeout, deadline - time.time())
-        phase(f"backend probe {attempts}/{args.probe_attempts} "
-              f"(timeout {per:.0f}s)")
-        try:
-            r = subprocess.run([sys.executable, "-c", _PROBE_SRC],
-                               capture_output=True, text=True, timeout=per)
-            if r.returncode == 0 and r.stdout.strip():
-                hb(f"probe ok: {r.stdout.strip()}")
-                return True, attempts, r.stdout.strip()
-            detail = (r.stderr or "").strip().splitlines()[-1:] or ["rc!=0"]
-            detail = detail[0][-300:]
-        except subprocess.TimeoutExpired:
-            detail = f"backend init hung >{per:.0f}s (probe killed)"
-        hb(f"probe {attempts} failed: {detail}")
-        time.sleep(min(3.0 * attempts, max(deadline - time.time(), 0.0)))
+        argv = [sys.executable, os.path.abspath(__file__), *sys.argv[1:],
+                "--direct", "--budget", str(round(remaining, 1))]
+        phase(f"device child {attempts}/{args.probe_attempts} "
+              f"(budget {remaining:.0f}s)")
+        child = subprocess.Popen(argv, stdout=subprocess.PIPE,
+                                 stderr=subprocess.PIPE, text=True,
+                                 bufsize=1)
+        got = {"value": False}
+        seen = {"backend_up": False}
+
+        def fwd_stdout(pipe=child.stdout):
+            for line in pipe:
+                line = line.rstrip("\n")
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if isinstance(rec, dict) and "metric" in rec:
+                    print(line, flush=True)
+                    if rec.get("value") is not None:
+                        got["value"] = True
+
+        def fwd_stderr(pipe=child.stderr):
+            for line in pipe:
+                if "backend_up" in line:
+                    seen["backend_up"] = True
+                sys.stderr.write(line)
+                sys.stderr.flush()
+
+        readers = [threading.Thread(target=fwd_stdout, daemon=True),
+                   threading.Thread(target=fwd_stderr, daemon=True)]
+        for r in readers:
+            r.start()
+        start = time.time()
+        hung = False
+        while child.poll() is None:
+            now = time.time()
+            if not seen["backend_up"] and now - start > args.probe_timeout:
+                hung = True
+                detail = (f"backend init hung >{args.probe_timeout:.0f}s "
+                          f"(child {attempts} killed)")
+                break
+            if now - start > remaining + 30:
+                detail = "child overran its budget and was killed"
+                break
+            time.sleep(1.0)
+        if child.poll() is None:
+            child.kill()
+            child.wait()
+            hb(detail)
+        for r in readers:
+            r.join(timeout=10)
+        if got["value"]:
+            return True, attempts, ""
+        if not hung:
+            detail = detail or (f"child rc={child.returncode}, "
+                                "no measurement line")
+            # backend came up but the run still failed: retrying won't
+            # get a different program — stop and fall back
+            if seen["backend_up"]:
+                return False, attempts, detail
+        hb(f"attempt {attempts} failed: {detail}")
     return False, attempts, detail
-
-
-def run_direct_child(args, reserve: float):
-    """Re-exec this script with --direct for the device measurement, in
-    a killable child sized to the remaining budget. Child stderr
-    (heartbeats/watchdog) streams through; stdout is captured and its
-    JSON measurement lines are forwarded verbatim. Returns (ok, detail)."""
-    remaining = T0 + args.budget - reserve - time.time()
-    if remaining < 20:
-        return False, "no budget left for the device measurement"
-    argv = [sys.executable, os.path.abspath(__file__), *sys.argv[1:],
-            "--direct", "--budget", str(round(remaining, 1))]
-    phase(f"device measurement child (budget {remaining:.0f}s)")
-    child = subprocess.Popen(argv, stdout=subprocess.PIPE, text=True)
-    try:
-        out, _ = child.communicate(timeout=remaining + 30)
-    except subprocess.TimeoutExpired:
-        child.kill()
-        out, _ = child.communicate()
-        hb("child overran its budget and was killed")
-    forwarded = False
-    for line in (out or "").splitlines():
-        try:
-            rec = json.loads(line)
-        except ValueError:
-            continue
-        if isinstance(rec, dict) and "metric" in rec:
-            print(line, flush=True)
-            forwarded = rec.get("value") is not None or forwarded
-    if forwarded:
-        return True, ""
-    return False, f"child rc={child.returncode}, no measurement line"
 
 
 def emit_fallback(args, error: str, attempts: int, detail: str) -> None:
@@ -763,24 +1010,44 @@ def main():
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--metric",
                     choices=["train", "decode", "dense", "dense-decode",
-                             "input", "e2e"],
+                             "input", "e2e", "transfer"],
                     default="train")
+    ap.add_argument("--e2e-stream", action="store_true",
+                    help="e2e metric: force the streaming input path "
+                         "(host gather + prefetch + per-batch "
+                         "device_put) instead of the device-resident "
+                         "store")
     ap.add_argument("--input-images", type=int, default=2048,
                     help="input/e2e metrics: synthetic store size")
+    ap.add_argument("--scan-unroll", type=int, default=1,
+                    help="attention family MFU experiment: unroll "
+                         "factor for the decoder recurrence scan "
+                         "(stamped as 'experiment' in the record)")
+    ap.add_argument("--attn-bf16", action="store_true",
+                    help="transformer/vitb MFU experiment: attention "
+                         "scores+softmax in compute dtype instead of "
+                         "fp32 (stamped as 'experiment' in the record)")
+    ap.add_argument("--trace", type=str, default=None,
+                    help="capture a jax.profiler trace of the measured "
+                         "window into this directory")
     ap.add_argument("--max-regions", type=int, default=32)
     ap.add_argument("--pallas-roi", action="store_true",
                     help="dense metric: explicit Pallas ROI kernel "
                          "instead of the einsum form")
     ap.add_argument("--image-size", type=int, default=512)
-    ap.add_argument("--steps-per-call", type=int, default=10,
+    ap.add_argument("--steps-per-call", type=int, default=None,
                     help="train steps fused into one XLA program via "
                          "lax.scan — amortizes host dispatch, which "
-                         "dominates through the remote TPU relay")
+                         "dominates through the remote TPU relay. "
+                         "Default: escalate 1 → 10 (emit a cheap "
+                         "legitimate number first, refine with budget)")
     ap.add_argument("--probe-attempts", type=int, default=3,
-                    help="bounded backend-init retries before falling "
-                         "back to the host metric")
+                    help="device-child attempts (each killed if its "
+                         "backend init hangs) before falling back to "
+                         "the host metric")
     ap.add_argument("--probe-timeout", type=float, default=70.0,
-                    help="per-probe backend-init timeout (s)")
+                    help="per-child backend-init timeout (s): kill + "
+                         "retry if no backend_up marker appears in time")
     ap.add_argument("--direct", action="store_true",
                     help="measure in-process (no orchestrator); used by "
                          "the orchestrator's own child")
@@ -793,26 +1060,27 @@ def main():
         return bench_input(args)
 
     if not args.direct:
-        # Orchestrator: probe backend init in killable subprocesses,
-        # then run the device measurement in a killable child; degrade
-        # to a structured-error line + the host input metric if either
-        # fails. The capture parses in EVERY relay state.
+        # Orchestrator: run the whole measurement in ONE killable child
+        # per attempt (backend init watched via the backend_up marker,
+        # hung inits killed + retried); degrade to a structured-error
+        # line + the host input metric if every attempt fails. The
+        # capture parses in EVERY relay state.
         reserve = 60.0          # room for the host fallback measurement
-        ok, attempts, detail = probe_backend(args, reserve)
+        ok, attempts, detail = run_device_child(args, reserve)
         if ok:
-            ok, detail = run_direct_child(args, reserve)
-            if ok:
-                return
-            return emit_fallback(args, "device_run_failed", attempts,
-                                 detail)
-        return emit_fallback(args, "backend_unavailable", attempts, detail)
+            return
+        error = ("backend_unavailable" if "backend init hung" in detail
+                 else "device_run_failed")
+        return emit_fallback(args, error, attempts, detail)
 
     setup_jax()
+    if args.metric == "transfer":
+        return bench_transfer(args)
     if args.metric == "dense":
         return bench_dense(args)
     if args.metric == "dense-decode":
         return bench_dense_decode(args)
-    fam = _family_table()[args.family]
+    fam = _family_table(args)[args.family]
     if args.batch_size is None:
         args.batch_size = (fam.get("decode_batch", fam["batch"])
                            if args.metric == "decode" else fam["batch"])

@@ -142,6 +142,7 @@ class AttentionCaptioner(nn.Module, _CNNEncoderMixin):
     backbone_stages: Tuple[int, ...] = (3, 4, 23, 3)
     compute_dtype: Any = jnp.float32
     freeze_encoder: bool = False
+    scan_unroll: int = 1        # see AttentionHead.scan_unroll
 
     def setup(self):
         self.features, self.fc_dim = self._make_encoder()
@@ -150,7 +151,8 @@ class AttentionCaptioner(nn.Module, _CNNEncoderMixin):
             embedding_size=self.embedding_size,
             encoder_dim=self.fc_dim,
             rnn_size=self.rnn_size,
-            dropout=self.dropout)
+            dropout=self.dropout,
+            scan_unroll=self.scan_unroll)
 
     def encode(self, images, train: bool = False):
         feats = _flatten_grid(
@@ -197,6 +199,7 @@ class TransformerCaptioner(nn.Module, _CNNEncoderMixin):
     # sizes — the reference Encoder hard-requires grid == patch_size²
     # (TransformerModule.py:126-128)
     patch_size_override: int = 0
+    fp32_softmax: bool = True   # see ops.transformer.MultiHeadAttention
 
     def setup(self):
         self.features, self.fc_dim = self._make_encoder()
@@ -206,12 +209,14 @@ class TransformerCaptioner(nn.Module, _CNNEncoderMixin):
         self.encoder = Encoder(
             embed_size=self.embed_size, num_layers=self.num_layers,
             heads=self.heads, forward_expansion=self.forward_expansion,
-            dropout=self.dropout, patch_length=self.patch_size ** 2)
+            dropout=self.dropout, patch_length=self.patch_size ** 2,
+            fp32_softmax=self.fp32_softmax)
         self.decoder = Decoder(
             vocab_out=self.vocab_size + 3, embed_size=self.embed_size,
             num_layers=self.num_layers, heads=self.heads,
             forward_expansion=self.forward_expansion, dropout=self.dropout,
-            max_length=self.max_length + 1)
+            max_length=self.max_length + 1,
+            fp32_softmax=self.fp32_softmax)
 
     def encode(self, images, train: bool = False):
         grid = _flatten_grid(

@@ -92,6 +92,11 @@ class AttentionHead(nn.Module):
     encoder_dim: int
     rnn_size: int
     dropout: float = 0.5
+    # MFU counter-experiment knob (docs/SCALING.md "Per-family MFU"):
+    # unroll factor for the teacher-forced recurrence scan. >1 lets XLA
+    # fuse/schedule across consecutive steps of the T≤17 chain instead
+    # of looping; the carry dependency itself cannot be removed.
+    scan_unroll: int = 1
 
     def setup(self):
         v3 = self.vocab_size + 3
@@ -177,7 +182,8 @@ class AttentionHead(nn.Module):
             return carry, (logits, alpha)
 
         ts = jnp.arange(pre_t.shape[0])
-        _, (logits_t, alphas_t) = jax.lax.scan(body, state, (ts, pre_t))
+        _, (logits_t, alphas_t) = jax.lax.scan(body, state, (ts, pre_t),
+                                               unroll=self.scan_unroll)
         return jnp.swapaxes(logits_t, 0, 1), jnp.swapaxes(alphas_t, 0, 1)
 
     def attention_keys(self, img_features):

@@ -55,6 +55,12 @@ class MultiHeadAttention(nn.Module):
 
     embed_size: int
     heads: int
+    # MFU counter-experiment knob (docs/SCALING.md "Per-family MFU"):
+    # scores/softmax in fp32 (default, the parity-safe numerics) or in
+    # the compute dtype throughout — tests whether the fp32 upcast of
+    # the short 49/17-length attention tail is what holds the
+    # transformer family under the 40% MFU bar.
+    fp32_softmax: bool = True
 
     @nn.compact
     def __call__(self, values, keys, query, mask=None, *, decode: bool = False,
@@ -110,13 +116,17 @@ class MultiHeadAttention(nn.Module):
                 valid = (pos <= idx).astype(jnp.float32)
                 mask = valid[None, None, None, :]
 
+        score_t = jnp.float32 if self.fp32_softmax else q.dtype
         energy = jnp.einsum("nqhd,nkhd->nhqk", q, k,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=score_t)
         if mask is not None:
+            # -1e20 is exactly representable in bf16 too (same exponent
+            # range as fp32), so the reference's fill survives both modes
             energy = jnp.where(mask == 0, NEG_INF, energy)
-        attn = jax.nn.softmax(energy / np.sqrt(self.embed_size), axis=3)
+        attn = jax.nn.softmax(
+            energy / np.asarray(np.sqrt(self.embed_size), score_t), axis=3)
         out = jnp.einsum("nhql,nlhd->nqhd", attn.astype(v.dtype), v,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=score_t)
         out = out.reshape(n, -1, h * d).astype(query.dtype)
         out = nn.Dense(self.embed_size, name="fc_out")(out)
         return out, attn
@@ -129,12 +139,14 @@ class TransformerBlock(nn.Module):
     heads: int
     dropout: float
     forward_expansion: int = 4
+    fp32_softmax: bool = True
 
     @nn.compact
     def __call__(self, value, key, query, mask=None, *,
                  deterministic: bool = True, decode: bool = False,
                  cross_decode: bool = False):
         attn, alphas = MultiHeadAttention(self.embed_size, self.heads,
+                                          fp32_softmax=self.fp32_softmax,
                                           name="attention")(
             value, key, query, mask, decode=decode,
             cross_decode=cross_decode)
@@ -158,6 +170,7 @@ class Encoder(nn.Module):
     forward_expansion: int
     dropout: float
     patch_length: int
+    fp32_softmax: bool = True
 
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic: bool = True):
@@ -170,7 +183,8 @@ class Encoder(nn.Module):
         for i in range(self.num_layers):
             out, _ = TransformerBlock(
                 self.embed_size, self.heads, self.dropout,
-                self.forward_expansion, name=f"layer_{i}")(
+                self.forward_expansion, fp32_softmax=self.fp32_softmax,
+                name=f"layer_{i}")(
                 out, out, out, mask, deterministic=deterministic)
         return out
 
@@ -183,18 +197,21 @@ class DecoderBlock(nn.Module):
     heads: int
     forward_expansion: int
     dropout: float
+    fp32_softmax: bool = True
 
     @nn.compact
     def __call__(self, x, enc_out, src_mask=None, trg_mask=None, *,
                  deterministic: bool = True, decode: bool = False):
         attn, _ = MultiHeadAttention(self.embed_size, self.heads,
+                                     fp32_softmax=self.fp32_softmax,
                                      name="attention")(
             x, x, x, trg_mask, decode=decode)
         query = nn.LayerNorm(name="norm")(attn + x)
         query = nn.Dropout(self.dropout)(query, deterministic=deterministic)
         out, alphas = TransformerBlock(
             self.embed_size, self.heads, self.dropout,
-            self.forward_expansion, name="transformer_block")(
+            self.forward_expansion, fp32_softmax=self.fp32_softmax,
+            name="transformer_block")(
             enc_out, enc_out, query, src_mask, deterministic=deterministic,
             cross_decode=decode)
         return out, alphas
@@ -212,6 +229,7 @@ class Decoder(nn.Module):
     forward_expansion: int
     dropout: float
     max_length: int
+    fp32_softmax: bool = True
     # AlexCap scales word embeddings by sqrt(E) (`emb*self.regul`,
     # TransformerModule.py:187); the AlexGTModel transformer does NOT
     # (AlexTransformer.py:188) — differential-tested both ways.
@@ -239,7 +257,8 @@ class Decoder(nn.Module):
         for i in range(self.num_layers):
             x, alphas = DecoderBlock(
                 self.embed_size, self.heads, self.forward_expansion,
-                self.dropout, name=f"layer_{i}")(
+                self.dropout, fp32_softmax=self.fp32_softmax,
+                name=f"layer_{i}")(
                 x, enc_out, src_mask, trg_mask,
                 deterministic=deterministic, decode=decode)
         logits = nn.Dense(self.vocab_out, name="fc_out")(x)

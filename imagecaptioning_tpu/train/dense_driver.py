@@ -404,6 +404,7 @@ def eval_split_rpn(model: DenseCapRPN, variables, loader, *,
     evaluator = dense_eval.DenseCaptioningEvaluator()
     vocab = loader.vocab
     seen = 0
+    recall_acc: Dict[str, list] = {}
     for batch in loader.padded_batches(split, 1, max_regions):
         if 0 < max_images <= seen:
             break
@@ -419,8 +420,24 @@ def eval_split_rpn(model: DenseCapRPN, variables, loader, *,
         if k.any():
             evaluator.addResult(s[k], b[k], caps, batch["boxes"][0][m],
                                 gt_caps)
+            # proposal recall (eval_box_recalls, the repaired
+            # box_utils.py:162-185 protocol): how well the DETECTION
+            # stage alone covers GT — separates "proposals are bad"
+            # from "captioning on good proposals is bad" (VERDICT r4)
+            order = np.argsort(-s[k])
+            n_kept = int(k.sum())
+            rec = dense_eval.eval_box_recalls(
+                b[k][order], np.asarray(batch["boxes"][0][m]),
+                ns=[10, 50, 100, n_kept])
+            for key, v in rec.items():
+                # the n_kept column averages consistently as 'at_all'
+                key = key.replace(f"_at_{n_kept}", "_at_all") \
+                    if key.endswith(f"_at_{n_kept}") else key
+                recall_acc.setdefault(key, []).append(v)
         seen += 1
     out = {"ap_results": evaluator.evaluate(), "num_images": seen}
+    out["ap_results"]["proposal_recall"] = {
+        k: round(float(np.mean(v)), 4) for k, v in recall_acc.items()}
     if return_records:
         out["records"] = [{"candidate": r["candidate"],
                            "references": r.get("references", [])}
