@@ -164,6 +164,10 @@ def emit(payload: dict, args, device_meta: bool = True) -> None:
     `device_meta=False` for host-only metrics: querying jax.devices()
     would INITIALIZE the backend (possibly a cold TPU relay) just to
     stamp metadata on a benchmark that needs no accelerator."""
+    if getattr(args, "trace", None):
+        # profiler overhead rides the measured window — the number is
+        # attribution evidence, not a headline throughput
+        payload = {**payload, "traced": True}
     print(json.dumps(payload), flush=True)
     try:
         rec = dict(payload)

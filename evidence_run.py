@@ -192,9 +192,42 @@ def run_rpn(args):
     printable["final_test"] = final
     with open(os.path.join(args.out, f"summary_{tag}.json"), "w") as f:
         json.dump(printable, f, indent=1, default=str)
+    # Diagnostic breakdown over training (VERDICT r4 item 5): detection
+    # quality (detmap: localization-only AP; proposal recall@IoU) vs
+    # full captioning mAP, from the per-eval results history.
+    png = None
+    try:
+        with open(cfg.result_file) as f:
+            hist = json.load(f)           # list of per-eval records
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        its = [h["iter"] for h in hist]
+        ap = [h["ap_results"] for h in hist]
+        fig, axs = plt.subplots(2, 1, sharex="col", figsize=(7, 6))
+        axs[0].plot(its, [a["map"] for a in ap], "go-", label="mAP")
+        axs[0].plot(its, [a.get("detmap", 0.0) for a in ap], "ks--",
+                    label="detmap (localization only)")
+        axs[0].set_ylabel("AP")
+        axs[0].set_title("RPN dense captioning: detection vs captioning")
+        axs[0].legend()
+        for thr, style in (("0.50", "bo-"), ("0.70", "c^-")):
+            key = f"{thr}_recall_at_all"
+            axs[1].plot(
+                its,
+                [a.get("proposal_recall", {}).get(key, 0.0) for a in ap],
+                style, label=f"proposal recall@IoU{thr}")
+        axs[1].set_ylabel("recall")
+        axs[1].set_xlabel("iter")
+        axs[1].legend()
+        fig.tight_layout()
+        png = os.path.join(args.out, f"{tag}_breakdown.png")
+        fig.savefig(png, dpi=120)
+    except Exception as e:
+        print(f"breakdown PNG skipped: {e}")
     print(json.dumps({"best_val_map": summary.get("best_val_score"),
-                      "final_test": final.get("ap_results")},
-                     default=str))
+                      "final_test": final.get("ap_results"),
+                      "curves": png}, default=str))
 
 
 def main(argv=None):
