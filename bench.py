@@ -737,13 +737,17 @@ def _family_table(args=None):
     from imagecaptioning_tpu.models.captioners import (
         AttentionCaptioner, LSTMCaptioner, TransformerCaptioner,
         ViTCaptioner)
-    unroll = max(getattr(args, "scan_unroll", 1) or 1, 1)
+    # production default: full unroll (measured +25%, see AttentionHead);
+    # an explicit --scan-unroll N pins the experiment variant
+    unroll_arg = getattr(args, "scan_unroll", None)
+    unroll = True if unroll_arg is None else max(unroll_arg, 1)
     fp32_sm = not getattr(args, "attn_bf16", False)
     table = {
         "lstm": dict(
             make=lambda v, t, d: LSTMCaptioner(
                 vocab_size=v, embedding_size=1024, rnn_size=768,
-                compute_dtype=d, freeze_encoder=True),
+                compute_dtype=d, freeze_encoder=True,
+                scan_unroll=1 if unroll_arg is None else unroll),
             cfg=get_lstm_config, batch=128),
         "attention": dict(
             make=lambda v, t, d: AttentionCaptioner(
@@ -764,7 +768,7 @@ def _family_table(args=None):
             cfg=get_vitb_config, batch=128, decode_batch=64),
     }
     experiment = []
-    if unroll > 1:
+    if unroll_arg is not None:
         experiment.append(f"scan_unroll={unroll}")
     if not fp32_sm:
         experiment.append("attn_bf16")
@@ -1023,10 +1027,11 @@ def main():
                          "store")
     ap.add_argument("--input-images", type=int, default=2048,
                     help="input/e2e metrics: synthetic store size")
-    ap.add_argument("--scan-unroll", type=int, default=1,
+    ap.add_argument("--scan-unroll", type=int, default=None,
                     help="attention family MFU experiment: unroll "
                          "factor for the decoder recurrence scan "
-                         "(stamped as 'experiment' in the record)")
+                         "(stamped as 'experiment' in the record); "
+                         "default = the production full unroll")
     ap.add_argument("--attn-bf16", action="store_true",
                     help="transformer/vitb MFU experiment: attention "
                          "scores+softmax in compute dtype instead of "

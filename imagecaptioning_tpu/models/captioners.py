@@ -97,6 +97,7 @@ class LSTMCaptioner(nn.Module, _CNNEncoderMixin):
     backbone_stages: Tuple[int, ...] = (3, 4, 23, 3)
     compute_dtype: Any = jnp.float32
     freeze_encoder: bool = False
+    scan_unroll: Any = 1        # see LanguageHead / AttentionHead
 
     def setup(self):
         self.features, self.fc_dim = self._make_encoder()
@@ -105,7 +106,8 @@ class LSTMCaptioner(nn.Module, _CNNEncoderMixin):
             embedding_size=self.embedding_size,
             rnn_size=self.rnn_size,
             num_layers=self.num_layers,
-            dropout=self.dropout)
+            dropout=self.dropout,
+            scan_unroll=self.scan_unroll)
 
     def encode(self, images, train: bool = False):
         feats = _flatten_grid(
@@ -142,7 +144,7 @@ class AttentionCaptioner(nn.Module, _CNNEncoderMixin):
     backbone_stages: Tuple[int, ...] = (3, 4, 23, 3)
     compute_dtype: Any = jnp.float32
     freeze_encoder: bool = False
-    scan_unroll: int = 1        # see AttentionHead.scan_unroll
+    scan_unroll: Any = True     # see AttentionHead.scan_unroll
 
     def setup(self):
         self.features, self.fc_dim = self._make_encoder()

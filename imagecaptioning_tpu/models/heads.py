@@ -19,7 +19,7 @@ T times for nothing.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +40,7 @@ class LanguageHead(nn.Module):
     # the GT variant instead passes dropout INTO nn.LSTM (inter-layer)
     # with the output drop commented out (AlexDenseLangage.py:53-55).
     output_dropout: bool = True
+    scan_unroll: Any = 1        # recurrence unroll; see AttentionHead
 
     def setup(self):
         self.image_encoder = nn.Dense(self.embedding_size)
@@ -47,7 +48,8 @@ class LanguageHead(nn.Module):
         # inter-layer LSTM dropout matters only for the multi-layer GT
         # config (torch nn.LSTM semantics)
         self.lstm = LSTM(hidden_size=self.rnn_size,
-                         num_layers=self.num_layers, dropout=self.dropout)
+                         num_layers=self.num_layers, dropout=self.dropout,
+                         unroll=self.scan_unroll)
         self.out_drop = nn.Dropout(
             self.dropout if self.output_dropout else 0.0)
         self.linear = nn.Dense(self.vocab_size + 3)
@@ -92,11 +94,15 @@ class AttentionHead(nn.Module):
     encoder_dim: int
     rnn_size: int
     dropout: float = 0.5
-    # MFU counter-experiment knob (docs/SCALING.md "Per-family MFU"):
-    # unroll factor for the teacher-forced recurrence scan. >1 lets XLA
-    # fuse/schedule across consecutive steps of the T≤17 chain instead
-    # of looping; the carry dependency itself cannot be removed.
-    scan_unroll: int = 1
+    # Unroll of the teacher-forced recurrence scan (int, or True = full
+    # unroll; passed straight to `lax.scan`). Measured on v5e: full
+    # unroll over the T≤17 chain is +25% train throughput vs the rolled
+    # loop (5,813 vs 4,648 img/s, runs/bench/results.jsonl
+    # 2026-08-19T17:35Z) — XLA schedules the carry-independent GEMMs of
+    # consecutive steps back-to-back instead of re-entering a loop body.
+    # Kept as a knob for the MFU falsification series
+    # (docs/SCALING.md "Per-family MFU").
+    scan_unroll: Any = True
 
     def setup(self):
         v3 = self.vocab_size + 3

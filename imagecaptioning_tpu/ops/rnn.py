@@ -11,7 +11,7 @@ copy (`utils.torch_port`).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +52,9 @@ class LSTM(nn.Module):
     hidden_size: int
     num_layers: int = 1
     dropout: float = 0.0
+    # lax.scan unroll for the recurrence (int, or True = full unroll);
+    # see AttentionHead.scan_unroll for the measured rationale.
+    unroll: Any = 1
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray,
@@ -119,7 +122,8 @@ class LSTM(nn.Module):
                     inp = inp * mask_t[layer]
             return (jnp.stack(new_h), jnp.stack(new_c)), inp
 
-        (hT, cT), ys_t = jax.lax.scan(step, h0c0, (pre0_t, masks_t))
+        (hT, cT), ys_t = jax.lax.scan(step, h0c0, (pre0_t, masks_t),
+                                      unroll=self.unroll)
         ys = jnp.swapaxes(ys_t, 0, 1)
         return ys, (hT, cT)
 
