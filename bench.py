@@ -747,7 +747,7 @@ def _family_table(args=None):
             make=lambda v, t, d: LSTMCaptioner(
                 vocab_size=v, embedding_size=1024, rnn_size=768,
                 compute_dtype=d, freeze_encoder=True,
-                scan_unroll=1 if unroll_arg is None else unroll),
+                scan_unroll=unroll),
             cfg=get_lstm_config, batch=128),
         "attention": dict(
             make=lambda v, t, d: AttentionCaptioner(

@@ -131,9 +131,17 @@ def main(argv=None):
     except RuntimeError:
         pass
 
+    # merge into the existing table so regenerating one family (after a
+    # default change) doesn't drop the others' entries
     out = {"peak_tflops_bf16_v5e": V5E_BF16_PEAK_TFLOPS,
            "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
            "families": {}}
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                out["families"] = json.load(f).get("families", {})
+        except (json.JSONDecodeError, OSError):
+            pass
     for family in args.families.split(","):
         t0 = time.time()
         if family == "gt":
