@@ -155,8 +155,22 @@ def run_rpn(args):
     from imagecaptioning_tpu.train import dense_driver
     from imagecaptioning_tpu.utils import checkpoint as ckptlib
 
-    tag = f"rpn_learnable_bs{args.batch_size}"
+    tag = f"rpn_learnable_bs{args.batch_size}{args.suffix}"
+    # --rpn-anchors matched: the reference's ladder (45/90/180/360,
+    # designed for 720px VG images) steps 2× per rung, so for this
+    # set's 32-120px boxes NO anchor clears the 0.7 positive-IoU
+    # threshold on scale alone (concentric same-aspect IoU between
+    # rungs bottoms out near 0.5) — positives come only from the
+    # argmax-per-GT fallback and proposal recall plateaus ~0.45@IoU0.5
+    # (see runs/evidence/rpn_learnable_bs2_breakdown.png). The matched
+    # ladder covers sqrt-area 32..126 in ≤1.42× steps and aspect
+    # 0.4..2.5 in ≤1.6× steps.
+    anchor_kw = {}
+    if args.rpn_anchors == "matched":
+        anchor_kw = dict(anchor_sizes=(32.0, 45.0, 64.0, 90.0, 126.0),
+                         anchor_ratios=(0.4, 0.63, 1.0, 1.6, 2.5))
     cfg = get_densecap_config().replace(
+        **anchor_kw,
         data_h5="/nonexistent", from_checkpoint=False,
         batch_size=args.batch_size, max_regions=4,
         learning_rate=args.lr, compute_dtype="float32",
@@ -190,6 +204,9 @@ def run_rpn(args):
     printable = {k: v for k, v in summary.items()
                  if k not in ("state", "model", "loader")}
     printable["final_test"] = final
+    printable["anchors"] = {"ladder": args.rpn_anchors,
+                            "sizes": list(cfg.anchor_sizes),
+                            "ratios": list(cfg.anchor_ratios)}
     with open(os.path.join(args.out, f"summary_{tag}.json"), "w") as f:
         json.dump(printable, f, indent=1, default=str)
     # Diagnostic breakdown over training (VERDICT r4 item 5): detection
@@ -246,6 +263,15 @@ def main(argv=None):
                     help="default: 12 (caption) / 4 (gt) / 2 (rpn)")
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", default="runs/evidence")
+    ap.add_argument("--suffix", default="",
+                    help="appended to the artifact tag (so experiment "
+                         "variants land beside the baseline artifacts)")
+    ap.add_argument("--rpn-anchors", default="reference",
+                    choices=["reference", "matched"],
+                    help="'reference' = the 720px-VG ladder the reference "
+                         "hard-codes; 'matched' = a ladder matched to the "
+                         "synthetic set's box-size distribution (32-120px "
+                         "at 256px images)")
     args = ap.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
 

@@ -111,6 +111,12 @@ class DenseConfig:
     tensorboard_dir: str = ""    # '' = off; optional TB event stream
     vgg_stages: int = 5          # VGG trunk depth (5 = full; tests shrink)
     use_pallas_roi: bool = False  # explicit Pallas ROI kernel (GT path, TPU)
+    # RPN anchor ladder (the reference hard-codes 45..360 × {.5,1,2} for
+    # 720px VG images, LocalizationLayer.py:24-30 — that stays the
+    # default; configurable so other image/box scales can keep anchor-GT
+    # IoU above the 0.7 positive-sampling threshold)
+    anchor_sizes: Tuple[float, ...] = (45.0, 90.0, 180.0, 360.0)
+    anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
     grad_accum_steps: int = 1    # micro-batches per optimizer update
     # Group-wise global-norm gradient clip (head and trainable-encoder
     # groups clipped separately; the frozen conv1_/conv2_ group's

@@ -220,11 +220,18 @@ class GTDenseCaptioner(nn.Module):
 
 # ----------------------------------------------------------------- RPN
 
-# 12 anchors scaled from 45..724, 3 aspect ratios × 4 scales — behavioral
-# match of the reference's anchor ladder (LocalizationLayer.py:24-30).
-def default_anchors() -> np.ndarray:
-    sizes = [45.0, 90.0, 180.0, 360.0]
-    ratios = [0.5, 1.0, 2.0]
+# The reference's anchor ladder — 12 anchors scaled from 45..724,
+# 3 aspect ratios × 4 scales (LocalizationLayer.py:24-30) — as the
+# default; sizes/ratios are configurable (the reference hard-codes the
+# ladder for 720px VG images; detection quality on other image/box
+# scales needs a ladder whose geometric step keeps anchor-GT IoU above
+# the 0.7 positive threshold, see DenseConfig.anchor_sizes).
+REFERENCE_ANCHOR_SIZES = (45.0, 90.0, 180.0, 360.0)
+REFERENCE_ANCHOR_RATIOS = (0.5, 1.0, 2.0)
+
+
+def default_anchors(sizes=REFERENCE_ANCHOR_SIZES,
+                    ratios=REFERENCE_ANCHOR_RATIOS) -> np.ndarray:
     out = []
     for s in sizes:
         for r in ratios:
@@ -264,6 +271,10 @@ class DenseCapRPN(nn.Module):
     box_transform_clamp: float = 10.0
     vgg_stages: int = 5           # trunk depth (5 = full VGG16; tests shrink)
     use_pallas_roi: bool = False  # explicit Pallas ROI kernel (TPU path)
+    # Anchor ladder (len(sizes)×len(ratios) anchors per position);
+    # default = the reference's 720px-VG ladder.
+    anchor_sizes: Tuple[float, ...] = REFERENCE_ANCHOR_SIZES
+    anchor_ratios: Tuple[float, ...] = REFERENCE_ANCHOR_RATIOS
     # False = the reference's detection-only RoiModel (RoiModel.py:198-239):
     # no caption head, 4-term total.
     with_captioning: bool = True
@@ -273,7 +284,7 @@ class DenseCapRPN(nn.Module):
         self.conv_trunk = VGGFeatures(include_final_pool=False,
                                       end_stage=self.vgg_stages,
                                       dtype=self.compute_dtype)
-        k = default_anchors().shape[0]
+        k = default_anchors(self.anchor_sizes, self.anchor_ratios).shape[0]
         self.rpn_conv = nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)),
                                 dtype=self.compute_dtype)
         self.rpn_scores = nn.Conv(k, (1, 1))
@@ -299,8 +310,10 @@ class DenseCapRPN(nn.Module):
         k = scores.shape[-1]
         # trunk without final pool: (stages-1) maxpools → stride 2^(s-1)
         x0, y0, sx, sy = boxlib.field_centers(self.vgg_stages - 1)
-        anchors = boxlib.make_anchors(jnp.asarray(default_anchors()),
-                                      x0, y0, sx, sy, hf, wf)
+        anchors = boxlib.make_anchors(
+            jnp.asarray(default_anchors(self.anchor_sizes,
+                                        self.anchor_ratios)),
+            x0, y0, sx, sy, hf, wf)
         anchors = jnp.transpose(anchors, (1, 2, 0, 3)).reshape(-1, 4)
         scores = scores.reshape(n, -1)
         trans = trans.reshape(n, hf, wf, k, 4).reshape(n, -1, 4)

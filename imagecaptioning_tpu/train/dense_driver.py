@@ -165,6 +165,8 @@ def build_rpn_model(cfg: DenseConfig, vocab_size: int,
         with_captioning=not cfg.roi_only,
         vgg_stages=cfg.vgg_stages,
         use_pallas_roi=cfg.use_pallas_roi,
+        anchor_sizes=tuple(cfg.anchor_sizes),
+        anchor_ratios=tuple(cfg.anchor_ratios),
         compute_dtype=dtype)
 
 

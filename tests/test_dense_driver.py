@@ -88,6 +88,43 @@ def test_train_rpn_smoke(tmp_path):
         assert np.isfinite(out["final_losses"][k]), k
 
 
+def test_rpn_anchor_ladder_configurable():
+    """anchor_sizes/anchor_ratios flow from DenseConfig into the RPN:
+    the default is the reference's 12-anchor ladder
+    (LocalizationLayer.py:24-30); a custom ladder changes the per-
+    position anchor count k (RPN head channels) and still trains."""
+    import jax
+    import jax.numpy as jnp
+
+    from imagecaptioning_tpu.models.densecap import default_anchors
+
+    assert default_anchors().shape == (12, 2)            # reference ladder
+
+    cfg = get_densecap_config().replace(
+        batch_size=1, max_regions=2, rnn_size=32, input_encoding_size=32,
+        compute_dtype="float32", sampler_batch_size=8, vgg_stages=2,
+        anchor_sizes=(16.0, 24.0, 36.0), anchor_ratios=(0.75, 1.0, 4.0 / 3))
+    model = dense_driver.build_rpn_model(cfg, vocab_size=16, seq_length=5)
+    assert model.anchor_sizes == (16.0, 24.0, 36.0)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    boxes = jnp.asarray([[[32.0, 32, 20, 24], [16.0, 40, 18, 14]]],
+                        dtype=jnp.float32)
+    labels = jnp.asarray(rng.randint(1, 14, size=(1, 2, 5), dtype=np.int32))
+    mask = jnp.ones((1, 2), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1),
+                            "sampling": jax.random.PRNGKey(2)},
+                           images, boxes, mask, labels, train=True)
+    # 1×1 score head emits k = len(sizes)×len(ratios) = 9 channels
+    assert variables["params"]["rpn_scores"]["kernel"].shape[-1] == 9
+    losses = model.apply(variables, images, boxes, mask, labels, train=True,
+                         rngs={"dropout": jax.random.PRNGKey(3),
+                               "sampling": jax.random.PRNGKey(4)})
+    assert np.isfinite(float(losses["total"]))
+
+
 def test_optimizer_freezes_conv1_conv2():
     """conv1_*/conv2_* never update; later convs update only after the
     finetune step; head updates immediately."""
