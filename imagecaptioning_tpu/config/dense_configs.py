@@ -111,11 +111,15 @@ class DenseConfig:
     tensorboard_dir: str = ""    # '' = off; optional TB event stream
     vgg_stages: int = 5          # VGG trunk depth (5 = full; tests shrink)
     use_pallas_roi: bool = False  # explicit Pallas ROI kernel (GT path, TPU)
-    # RPN anchor ladder (the reference hard-codes 45..360 × {.5,1,2} for
-    # 720px VG images, LocalizationLayer.py:24-30 — that stays the
-    # default; configurable so other image/box scales can keep anchor-GT
-    # IoU above the 0.7 positive-sampling threshold)
-    anchor_sizes: Tuple[float, ...] = (45.0, 90.0, 180.0, 360.0)
+    # RPN anchor ladder (the reference hard-codes 12 literal anchors at
+    # scales {64,128,256,512} × ratios {.5,1,2} for 720px VG images,
+    # LocalizationLayer.py:24-30). These default values are a sentinel:
+    # models/densecap.default_anchors returns the reference's verbatim
+    # hand-rounded table for them (its rounding — 45×90 but 181×362 —
+    # matches no formula) and generates (s·√r, s/√r) for any other
+    # ladder, so other image/box scales can keep anchor-GT IoU above
+    # the 0.7 positive-sampling threshold.
+    anchor_sizes: Tuple[float, ...] = (64.0, 128.0, 256.0, 512.0)
     anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
     grad_accum_steps: int = 1    # micro-batches per optimizer update
     # Group-wise global-norm gradient clip (head and trainable-encoder

@@ -197,8 +197,11 @@ def make_greedy_fn(model, max_steps: int) -> Callable:
 
 
 def make_beam_fn(model, max_steps: int, beam_size: int,
-                 use_logprobs: bool = False) -> Callable:
-    """(variables, images) → BeamResult; fully jitted fixed-shape beam."""
+                 use_logprobs: bool = False,
+                 scan_unroll: Any = 1) -> Callable:
+    """(variables, images) → BeamResult; fully jitted fixed-shape beam.
+    `scan_unroll` unrolls the beam step scan (perf knob; identical
+    results — see runs/bench results.jsonl decode experiments)."""
 
     @jax.jit
     def run(variables, images):
@@ -214,7 +217,8 @@ def make_beam_fn(model, max_steps: int, beam_size: int,
             end_token=model.vocab_size + 2,
             max_steps=max_steps, use_logprobs=use_logprobs,
             collect_alphas=True,
-            alpha_positions=_alpha_positions(model, feats))
+            alpha_positions=_alpha_positions(model, feats),
+            scan_unroll=scan_unroll)
     return run
 
 

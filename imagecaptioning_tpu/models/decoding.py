@@ -48,12 +48,15 @@ def _gather_beams(tree: Any, parents: jnp.ndarray, batch: int, k: int) -> Any:
 
 def greedy_decode(step_fn: DecodeStep, carry: Any, batch: int,
                   start_token: int, max_steps: int,
-                  collect_alphas: bool = False):
+                  collect_alphas: bool = False,
+                  scan_unroll: Any = 1):
     """Greedy argmax decode. Returns (tokens (B, max_steps),
     alphas (B, max_steps, P) or None). The reference's early break on
     all-END (`LanguageModule.py:145-148`) is a host-side optimization
     that does not change the decoded strings — decode stops at the first
-    END anyway — so we run the fixed step count and keep shapes static."""
+    END anyway — so we run the fixed step count and keep shapes static.
+    `scan_unroll` feeds lax.scan's unroll (the train-side recurrence
+    measured +5..25% from full unroll; see AttentionHead.scan_unroll)."""
 
     init_tok = jnp.full((batch, 1), start_token, jnp.int32)
 
@@ -65,7 +68,7 @@ def greedy_decode(step_fn: DecodeStep, carry: Any, batch: int,
         return (carry, nxt), out
 
     (_, _), outs = jax.lax.scan(body, (carry, init_tok),
-                                jnp.arange(max_steps))
+                                jnp.arange(max_steps), unroll=scan_unroll)
     tokens = jnp.swapaxes(outs[0], 0, 1)
     alphas = jnp.swapaxes(outs[1], 0, 1) if collect_alphas else None
     return tokens, alphas
@@ -83,9 +86,11 @@ def beam_search(step_fn: DecodeStep, carry: Any, batch: int, beam_size: int,
                 use_logprobs: bool = False,
                 length_normalize: bool = False,
                 collect_alphas: bool = False,
-                alpha_positions: int = 1) -> BeamResult:
+                alpha_positions: int = 1,
+                scan_unroll: Any = 1) -> BeamResult:
     """Fixed-shape batched beam search. `carry` must already be expanded
-    to B*K along its batch axis (beam-major within batch)."""
+    to B*K along its batch axis (beam-major within batch). `scan_unroll`
+    feeds lax.scan's unroll over the step loop."""
     k = beam_size
     neg = jnp.float32(-1e30)
 
@@ -142,7 +147,8 @@ def beam_search(step_fn: DecodeStep, carry: Any, batch: int, beam_size: int,
         return (carry, cur, tokens, scores, finished, fin_scores, alphas), None
 
     state = (carry, cur, tokens, scores, finished, fin_scores, alphas)
-    state, _ = jax.lax.scan(body, state, jnp.arange(max_steps))
+    state, _ = jax.lax.scan(body, state, jnp.arange(max_steps),
+                            unroll=scan_unroll)
     _, _, tokens, scores, finished, fin_scores, alphas = state
 
     final = jnp.where(finished, fin_scores, scores)

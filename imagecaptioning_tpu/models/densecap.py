@@ -220,18 +220,38 @@ class GTDenseCaptioner(nn.Module):
 
 # ----------------------------------------------------------------- RPN
 
-# The reference's anchor ladder — 12 anchors scaled from 45..724,
-# 3 aspect ratios × 4 scales (LocalizationLayer.py:24-30) — as the
-# default; sizes/ratios are configurable (the reference hard-codes the
-# ladder for 720px VG images; detection quality on other image/box
-# scales needs a ladder whose geometric step keeps anchor-GT IoU above
-# the 0.7 positive threshold, see DenseConfig.anchor_sizes).
-REFERENCE_ANCHOR_SIZES = (45.0, 90.0, 180.0, 360.0)
+# The reference's anchor ladder — 12 hand-rounded (w, h) literals,
+# 3 aspect ratios × 4 scales {64, 128, 256, 512}
+# (LocalizationLayer.py:24-30) — as the default; sizes/ratios are
+# configurable (the reference hard-codes the ladder for 720px VG
+# images; detection quality on other image/box scales needs a ladder
+# whose geometric step keeps anchor-GT IoU above the 0.7 positive
+# threshold, see DenseConfig.anchor_sizes). The sentinel size/ratio
+# tuples below mark "use the reference literals": NO (s·√r, s/√r)
+# formula reproduces the reference's table exactly, because its
+# entries are rounded inconsistently (45×90 at scale 64 but 181×362 at
+# scale 256 — √2·64 = 90.51, √2·128 = 181.02), so when the defaults
+# are requested `default_anchors` returns the verbatim table instead
+# of generating one.
+REFERENCE_ANCHOR_SIZES = (64.0, 128.0, 256.0, 512.0)
 REFERENCE_ANCHOR_RATIOS = (0.5, 1.0, 2.0)
+# LocalizationLayer.py:24-30, row-for-row (w, h); anchor_scale = 1.
+REFERENCE_ANCHORS = (
+    (45.0, 90.0), (90.0, 45.0), (64.0, 64.0),
+    (90.0, 180.0), (180.0, 90.0), (128.0, 128.0),
+    (181.0, 362.0), (362.0, 181.0), (256.0, 256.0),
+    (362.0, 724.0), (724.0, 362.0), (512.0, 512.0),
+)
 
 
 def default_anchors(sizes=REFERENCE_ANCHOR_SIZES,
                     ratios=REFERENCE_ANCHOR_RATIOS) -> np.ndarray:
+    """(len(sizes)·len(ratios), 2) anchor (w, h) table. The reference
+    defaults return its literal hand-rounded table (exact numeric
+    parity); any other ladder is generated as (s·√r, s/√r)."""
+    if (tuple(sizes) == REFERENCE_ANCHOR_SIZES
+            and tuple(ratios) == REFERENCE_ANCHOR_RATIOS):
+        return np.asarray(REFERENCE_ANCHORS, dtype=np.float32)
     out = []
     for s in sizes:
         for r in ratios:
@@ -320,6 +340,16 @@ class DenseCapRPN(nn.Module):
         proposals = boxlib.apply_box_transform(
             anchors[None], trans, max_log_scale=self.box_transform_clamp)
         return RPNOutput(proposals, scores, trans, anchors)
+
+    def proposals_only(self, images) -> RPNOutput:
+        """Diagnostic entry: the raw RPN proposal field for `images`
+        (anchors + predicted deltas, pre-NMS/pre-sampling) — feeds
+        eval_split_rpn's anchor-assignment diagnostic (what fraction of
+        GT boxes any anchor covers at the 0.7/0.5 sampling thresholds,
+        and how full the positive-sample budget runs)."""
+        feats = self.conv_trunk(images, train=False)
+        return self.rpn_forward(
+            feats, (float(images.shape[1]), float(images.shape[2])))
 
     def _region_codes(self, feats_i, boxes, image_hw, train):
         pooled = roi_align(feats_i, boxes, image_hw, self.roi_size)
@@ -441,6 +471,12 @@ class DenseCapRPN(nn.Module):
         # and then excludes it (RoiModel.py:238, RegularizeLayer.py:10-14).
         loss_dict["box_decay"] = (0.5 * self.box_reg_decay *
                                   jnp.sum(rpn.trans.astype(jnp.float32)**2))
+        # Diagnostic (not a loss): how full the positive-sample budget
+        # runs. ~M/num_pos (GT count over budget) means positives come
+        # only from the argmax-per-GT fallback — the anchor ladder never
+        # clears the 0.7 IoU threshold and box-reg/objectness learn from
+        # a starved, repeated positive set.
+        loss_dict["pos_occupancy"] = pos_mask.astype(jnp.float32).mean()
         return loss_dict
 
     def forward_test(self, images, nms_thresh: float = 0.7,

@@ -98,7 +98,18 @@ def test_rpn_anchor_ladder_configurable():
 
     from imagecaptioning_tpu.models.densecap import default_anchors
 
-    assert default_anchors().shape == (12, 2)            # reference ladder
+    # Default = the reference's VERBATIM 12-anchor table — value-level
+    # golden against LocalizationLayer.py:24-30 (its hand-rounded
+    # literals match no (s·√r, s/√r) formula: 45×90 but 181×362).
+    reference_literals = np.asarray([
+        [45, 90], [90, 45], [64, 64],
+        [90, 180], [180, 90], [128, 128],
+        [181, 362], [362, 181], [256, 256],
+        [362, 724], [724, 362], [512, 512]], dtype=np.float32)
+    np.testing.assert_array_equal(default_anchors(), reference_literals)
+    # non-default ladders come from the (s·√r, s/√r) generator
+    gen = default_anchors(sizes=(10.0,), ratios=(0.25, 1.0))
+    np.testing.assert_allclose(gen, [[5.0, 20.0], [10.0, 10.0]], rtol=1e-6)
 
     cfg = get_densecap_config().replace(
         batch_size=1, max_regions=2, rnn_size=32, input_encoding_size=32,

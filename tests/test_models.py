@@ -200,3 +200,22 @@ def test_facade_accepts_reference_data_dict(batch):
     assert loss_dict_style == loss_positional
     caps, alphas = m.forward_test(data)
     assert len(caps) == images.shape[0]
+
+
+def test_beam_unroll_identical_results(batch):
+    """scan_unroll on the beam step loop is a pure perf knob: fully
+    unrolled beam must reproduce the rolled beam's tokens and scores
+    exactly (runs/bench results.jsonl decode experiments rely on it)."""
+    images, gt = batch
+    model = _make("transformer")
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        images, gt, train=True)
+    rolled = api.make_beam_fn(model, T + 1, beam_size=3)(variables, images)
+    unrolled = api.make_beam_fn(model, T + 1, beam_size=3,
+                                scan_unroll=True)(variables, images)
+    np.testing.assert_array_equal(np.asarray(rolled.tokens),
+                                  np.asarray(unrolled.tokens))
+    np.testing.assert_allclose(np.asarray(rolled.scores),
+                               np.asarray(unrolled.scores),
+                               rtol=1e-5, atol=1e-5)
