@@ -199,3 +199,89 @@ def test_rpn_sharded_step_matches_single_device():
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-5)
+
+
+# ---------------- ResNet-LSTM families across the freeze boundary ----
+
+def _resnet_family_setup(family, batch):
+    """LSTM / attention-LSTM captioner over a tiny ResNet trunk — the
+    two families whose TrainState carries BN batch_stats (the one state
+    that is not trivially replicated) — with the driver's two-model
+    frozen/finetune arrangement (driver.py: frozen_model + optimizer
+    gate until finetune_start)."""
+    from imagecaptioning_tpu.config import (get_lstm_attention_config,
+                                            get_lstm_config)
+    from imagecaptioning_tpu.models.captioners import (AttentionCaptioner,
+                                                       LSTMCaptioner)
+
+    v, t = 32, 6
+    kw = dict(vocab_size=v, embedding_size=32, rnn_size=32, dropout=0.0,
+              backbone_stages=(1, 1, 1, 1), scan_unroll=1)
+    cls = LSTMCaptioner if family == "lstm" else AttentionCaptioner
+    model = cls(**kw)
+    frozen = cls(**kw, freeze_encoder=True)
+    cfg = (get_lstm_config() if family == "lstm"
+           else get_lstm_attention_config()).replace(batch_size=batch,
+                                                     clip_grad=True)
+    finetune_start = 2
+    tx = optim.make_optimizer(cfg, total_steps=8,
+                              finetune_start_step=finetune_start)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(batch, 64, 64, 3).astype(np.float32))
+    gt = jnp.asarray(rng.randint(1, v + 1, size=(batch, t)).astype(np.int32))
+    state, _ = steplib.create_train_state(model, tx, images, gt)
+    assert state.batch_stats, "ResNet trunk must carry BN batch_stats"
+    return (model, frozen, tx, state, images, gt, finetune_start)
+
+
+def _run_freeze_boundary(family, mesh=None, n_steps=3):
+    """n_steps train steps crossing the frozen→finetune boundary, on a
+    single device (mesh=None) or dp×tp sharded. Returns (losses, state)."""
+    (model, frozen, tx, state, images, gt,
+     finetune_start) = _resnet_family_setup(family, batch=8)
+    steps = {}
+    for name, m in (("train", model), ("frozen", frozen)):
+        fn = steplib.make_train_step(m, tx)
+        if mesh is None:
+            steps[name] = jax.jit(fn)
+        else:
+            shardings = meshlib.infer_param_shardings(state.params, mesh)
+            params = jax.tree.map(jax.device_put, state.params, shardings)
+            state = state._replace(params=params)
+            steps[name] = steplib.shard_train_step(
+                fn, mesh, param_shardings=shardings, state_template=state)
+    if mesh is not None:
+        data = meshlib.data_sharding(mesh)
+        images = jax.device_put(images, data)
+        gt = jax.device_put(gt, data)
+    losses = []
+    for it in range(n_steps):
+        fn = steps["frozen"] if it < finetune_start else steps["train"]
+        state, metrics = fn(state, images, gt)
+        losses.append(float(metrics["loss"]))
+    return losses, state
+
+
+@pytest.mark.parametrize("family", ["lstm", "attention"])
+def test_resnet_lstm_sharded_freeze_boundary_matches_single_device(family):
+    """dp×tp ≡ single-device for the two ResNet-LSTM families across
+    the frozen→finetune boundary: per-step losses, final params, AND
+    the BN batch_stats (running stats only mutate once the encoder
+    unfreezes — the frozen steps must leave them bit-stable under
+    sharding too)."""
+    l1, s1 = _run_freeze_boundary(family, mesh=None)
+    mesh = meshlib.create_mesh((4, 2), ("data", "model"))
+    l2, s2 = _run_freeze_boundary(family, mesh=mesh)
+    for a, b in zip(l1, l2):
+        assert a == pytest.approx(b, rel=1e-4)
+    # Params: over 3 Adam steps, elements whose gradient is ~0 can have
+    # the whole ±lr-scale update flip sign under cross-device reduction
+    # -order noise (observed: 1/9408 elements at |Δ| ≈ 5.7e-4, the rest
+    # ≤2e-4); atol covers a few flipped steps, rtol pins real divergence.
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+    for a, b in zip(jax.tree.leaves(s1.batch_stats),
+                    jax.tree.leaves(s2.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
