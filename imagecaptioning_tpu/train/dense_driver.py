@@ -352,6 +352,7 @@ def train_gt(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
         tb.close()
     return {
         "iters": it,
+        "max_iter": max_iter,
         "final_loss": last_loss,
         "best_val_score": res_hist.best_score,
         "best_iter": res_hist.best_iter,
@@ -403,9 +404,28 @@ def eval_split_rpn(model: DenseCapRPN, variables, loader, *,
                            method=model.generate_captions)
         return boxes, scores, toks, keep
 
+    @jax.jit
+    def anchor_stats(variables, images, gt_b, gt_m):
+        """Anchor-assignment diagnostic (VERDICT r5 item 2): per GT box
+        the best STATIC-anchor IoU (can any anchor clear the sampler's
+        0.7/0.5 thresholds on this data at all?), and how many live
+        proposals qualify as positive candidates for the num_pos-slot
+        budget (BoxSampler.py:29-45 semantics via candidate_masks)."""
+        from imagecaptioning_tpu.ops import boxes as boxlib
+        from imagecaptioning_tpu.ops.box_sampler import candidate_masks
+        rpn = model.apply(variables, images, method=model.proposals_only)
+        best_anchor_iou = boxlib.box_iou(gt_b, rpn.anchors).max(axis=1)
+        ih, iw = images.shape[1], images.shape[2]
+        _, in_b = boxlib.clip_boxes(rpn.proposals[0], ih, iw)
+        pos_mask, _, _ = candidate_masks(rpn.proposals[0], gt_b,
+                                         gt_m > 0, in_bounds=in_b)
+        return best_anchor_iou, pos_mask.sum()
+
     evaluator = dense_eval.DenseCaptioningEvaluator()
     vocab = loader.vocab
     seen = 0
+    best_anchor_ious: list = []
+    pos_candidates: list = []
     recall_acc: Dict[str, list] = {}
     for batch in loader.padded_batches(split, 1, max_regions):
         if 0 < max_images <= seen:
@@ -419,6 +439,11 @@ def eval_split_rpn(model: DenseCapRPN, variables, loader, *,
         caps = vocab.decode_sequence(toks[k]) if k.any() else []
         m = batch["box_mask"][0] > 0
         gt_caps = vocab.decode_sequence(batch["labels"][0][m])
+        iou_per_gt, n_pos = anchor_stats(variables, images,
+                                         jnp.asarray(batch["boxes"][0]),
+                                         jnp.asarray(batch["box_mask"][0]))
+        best_anchor_ious.extend(np.asarray(iou_per_gt)[np.asarray(m)])
+        pos_candidates.append(float(n_pos))
         if k.any():
             evaluator.addResult(s[k], b[k], caps, batch["boxes"][0][m],
                                 gt_caps)
@@ -440,6 +465,19 @@ def eval_split_rpn(model: DenseCapRPN, variables, loader, *,
     out = {"ap_results": evaluator.evaluate(), "num_images": seen}
     out["ap_results"]["proposal_recall"] = {
         k: round(float(np.mean(v)), 4) for k, v in recall_acc.items()}
+    if best_anchor_ious:
+        bai = np.asarray(best_anchor_ious)
+        pc = np.asarray(pos_candidates)
+        out["ap_results"]["anchor_assignment"] = {
+            "gt_frac_best_anchor_iou_ge_0.7": round(float(
+                (bai >= 0.7).mean()), 4),
+            "gt_frac_best_anchor_iou_ge_0.5": round(float(
+                (bai >= 0.5).mean()), 4),
+            "mean_best_anchor_iou": round(float(bai.mean()), 4),
+            "pos_candidates_mean": round(float(pc.mean()), 2),
+            "pos_occupancy": round(float(
+                np.minimum(pc, model.num_pos).mean() / model.num_pos), 4),
+        }
     if return_records:
         out["records"] = [{"candidate": r["candidate"],
                            "references": r.get("references", [])}
@@ -569,7 +607,7 @@ def train_rpn(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
     finally:
         tb.close()
     return {
-        "iters": it, "final_losses": last,
+        "iters": it, "max_iter": max_iter, "final_losses": last,
         "best_val_score": res_hist.best_score,
         "best_iter": res_hist.best_iter,
         "state": state, "model": model, "loader": loader,

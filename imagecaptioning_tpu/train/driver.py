@@ -292,6 +292,7 @@ def train(cfg: CaptionConfig, *, max_iter_override: Optional[int] = None,
                     return_records=True)
     return {
         "iters": it,
+        "max_iter": max_iter,
         "final_loss": last_loss,
         "best_val_score": res_hist.best_score,
         "best_iter": res_hist.best_iter,
