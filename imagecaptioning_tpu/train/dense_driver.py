@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 import time
+from functools import partial
 from typing import Dict, Optional
 
 import jax
@@ -249,14 +250,17 @@ def train_gt(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
     b0 = next(loader.padded_batches(0, cfg.batch_size,
                                     max_regions=cfg.max_regions))
     rng = jax.random.PRNGKey(cfg.seed)
-    variables = model.init(
+    # jitted init: eager init dispatches per op — minutes through a
+    # remote TPU relay vs one compiled program (train/step.py precedent)
+    variables = jax.jit(partial(
+        model.init, train=True,
+        teacher_prob=jnp.float32(1.0) if cfg.use_curriculum_learning
+        else None))(
         {"params": rng, "dropout": rng, "sampling": rng},
         normalize_images(b0["image"], dtype=dtype),
-        jnp.asarray(b0["boxes"]), jnp.asarray(b0["labels"]), train=True,
-        teacher_prob=jnp.float32(1.0) if cfg.use_curriculum_learning
-        else None)
+        jnp.asarray(b0["boxes"]), jnp.asarray(b0["labels"]))
     state = TrainState(jnp.array(0, jnp.int32), variables["params"],
-                       tx.init(variables["params"]),
+                       jax.jit(tx.init)(variables["params"]),
                        variables.get("batch_stats", {}),
                        jax.random.PRNGKey(cfg.seed + 1))
     if cfg.encoder_init:
@@ -508,13 +512,13 @@ def train_rpn(cfg: DenseConfig, *, max_iter_override: Optional[int] = None,
     b0 = next(loader.padded_batches(0, cfg.batch_size,
                                     max_regions=cfg.max_regions))
     rng = jax.random.PRNGKey(cfg.seed)
-    variables = model.init(
+    variables = jax.jit(partial(model.init, train=True))(
         {"params": rng, "dropout": rng, "sampling": rng},
         normalize_images(b0["image"], dtype=dtype),
         jnp.asarray(b0["boxes"]), jnp.asarray(b0["box_mask"]),
-        jnp.asarray(b0["labels"]), train=True)
+        jnp.asarray(b0["labels"]))
     state = TrainState(jnp.array(0, jnp.int32), variables["params"],
-                       tx.init(variables["params"]),
+                       jax.jit(tx.init)(variables["params"]),
                        variables.get("batch_stats", {}),
                        jax.random.PRNGKey(cfg.seed + 1))
     if cfg.encoder_init:

@@ -33,14 +33,17 @@ class TrainState(NamedTuple):
 
 def create_train_state(model, tx, images, gt, seed: int = 123) -> Tuple[TrainState, Any]:
     """Init model + optimizer. Returns (state, static model variables
-    besides params — i.e. batch_stats if present)."""
+    besides params — i.e. batch_stats if present). Both inits run as
+    single jitted programs: eager init dispatches every op separately —
+    minutes through a remote TPU relay (measured 165 s for ResNet-101)
+    vs one compile + one execute jitted."""
     root = jax.random.PRNGKey(seed)
     p_rng, d_rng, s_rng = jax.random.split(root, 3)
-    variables = model.init({"params": p_rng, "dropout": d_rng},
-                           images, gt, train=True)
+    variables = jax.jit(partial(model.init, train=True))(
+        {"params": p_rng, "dropout": d_rng}, images, gt)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    opt_state = tx.init(params)
+    opt_state = jax.jit(tx.init)(params)
     return TrainState(jnp.array(0, jnp.int32), params, opt_state,
                       batch_stats, s_rng), variables
 
