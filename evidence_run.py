@@ -192,6 +192,10 @@ def run_rpn(args):
     if args.rpn_anchors == "matched":
         anchor_kw = dict(anchor_sizes=(32.0, 45.0, 64.0, 90.0, 126.0),
                          anchor_ratios=(0.4, 0.63, 1.0, 1.6, 2.5))
+    if args.rpn_box_decay:
+        # stability divergence under test: sum the trans-field decay the
+        # reference computes and drops (see DenseCapRPN.apply_box_decay)
+        anchor_kw["apply_box_decay"] = True
     cfg = get_densecap_config().replace(
         **anchor_kw,
         data_h5="/nonexistent", from_checkpoint=False,
@@ -229,7 +233,8 @@ def run_rpn(args):
     printable["final_test"] = final
     printable["anchors"] = {"ladder": args.rpn_anchors,
                             "sizes": list(cfg.anchor_sizes),
-                            "ratios": list(cfg.anchor_ratios)}
+                            "ratios": list(cfg.anchor_ratios),
+                            "apply_box_decay": cfg.apply_box_decay}
     _stamp_history(printable, summary, cfg.result_file)
     with open(os.path.join(args.out, f"summary_{tag}.json"), "w") as f:
         json.dump(printable, f, indent=1, default=str)
@@ -290,6 +295,10 @@ def main(argv=None):
     ap.add_argument("--suffix", default="",
                     help="appended to the artifact tag (so experiment "
                          "variants land beside the baseline artifacts)")
+    ap.add_argument("--rpn-box-decay", action="store_true",
+                    help="RPN runs: sum the 0.5*w*|trans|^2 decay into "
+                         "the total (stability divergence; the reference "
+                         "computes and drops it, RoiModel.py:238)")
     ap.add_argument("--rpn-anchors", default="reference",
                     choices=["reference", "matched"],
                     help="'reference' = the 720px-VG ladder the reference "

@@ -111,6 +111,11 @@ class DenseConfig:
     tensorboard_dir: str = ""    # '' = off; optional TB event stream
     vgg_stages: int = 5          # VGG trunk depth (5 = full; tests shrink)
     use_pallas_roi: bool = False  # explicit Pallas ROI kernel (GT path, TPU)
+    # Opt-in stability divergence (off = reference parity): actually sum
+    # the RPN's 0.5·box_reg_decay·‖trans‖² term into the total instead
+    # of the reference's compute-and-drop (RoiModel.py:238); see
+    # DenseCapRPN.apply_box_decay.
+    apply_box_decay: bool = False
     # RPN anchor ladder (the reference hard-codes 12 literal anchors at
     # scales {64,128,256,512} × ratios {.5,1,2} for 720px VG images,
     # LocalizationLayer.py:24-30). These default values are a sentinel:

@@ -298,6 +298,15 @@ class DenseCapRPN(nn.Module):
     # False = the reference's detection-only RoiModel (RoiModel.py:198-239):
     # no caption head, 4-term total.
     with_captioning: bool = True
+    # Opt-in stability DIVERGENCE (off = reference parity): actually add
+    # the 0.5·box_reg_decay·‖trans‖² term to the total. The reference
+    # computes it and then excludes it (RoiModel.py:238), leaving the
+    # trans field on never-sampled anchors unregularized — measured on
+    # the matched-ladder evidence run: ‖trans‖² grows 0.003 → 280 over
+    # 300 iters while proposal recall@0.5 decays 0.53 → 0.33 off its
+    # early peak. (The Lua original backprops this decay through its
+    # RegularizeLayer; the torch port dropped that.)
+    apply_box_decay: bool = False
     compute_dtype: Any = jnp.float32
 
     def setup(self):
@@ -469,8 +478,11 @@ class DenseCapRPN(nn.Module):
         # RegularizeLayer side-channel: 0.5·w·‖trans‖² recorded but NOT
         # summed into the total — the reference computes box_decay_loss
         # and then excludes it (RoiModel.py:238, RegularizeLayer.py:10-14).
+        # apply_box_decay=True opts into summing it (see field docstring).
         loss_dict["box_decay"] = (0.5 * self.box_reg_decay *
                                   jnp.sum(rpn.trans.astype(jnp.float32)**2))
+        if self.apply_box_decay:
+            loss_dict["total"] = loss_dict["total"] + loss_dict["box_decay"]
         # Diagnostic (not a loss): how full the positive-sample budget
         # runs. ~M/num_pos (GT count over budget) means positives come
         # only from the argmax-per-GT fallback — the anchor ladder never

@@ -168,6 +168,7 @@ def build_rpn_model(cfg: DenseConfig, vocab_size: int,
         use_pallas_roi=cfg.use_pallas_roi,
         anchor_sizes=tuple(cfg.anchor_sizes),
         anchor_ratios=tuple(cfg.anchor_ratios),
+        apply_box_decay=cfg.apply_box_decay,
         compute_dtype=dtype)
 
 

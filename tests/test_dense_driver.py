@@ -240,3 +240,42 @@ def test_train_rpn_resumes(tmp_path):
                                   synthetic_images=8, verbose=False)
     assert out2["iters"] == 4
     assert all(np.isfinite(v) for v in out2["final_losses"].values())
+
+
+def test_rpn_apply_box_decay_knob():
+    """apply_box_decay=False (default) keeps reference parity: the decay
+    term is reported but excluded from the total. True sums it in —
+    total_on == total_off + box_decay, same forward otherwise."""
+    import jax
+    import jax.numpy as jnp
+
+    def losses(apply_decay):
+        cfg = get_densecap_config().replace(
+            batch_size=1, max_regions=2, rnn_size=32,
+            input_encoding_size=32, compute_dtype="float32",
+            sampler_batch_size=8, vgg_stages=2,
+            apply_box_decay=apply_decay)
+        model = dense_driver.build_rpn_model(cfg, vocab_size=16,
+                                             seq_length=5)
+        rng = np.random.RandomState(0)
+        images = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+        boxes = jnp.asarray([[[32.0, 32, 20, 24], [16.0, 40, 18, 14]]],
+                            dtype=jnp.float32)
+        labels = jnp.asarray(rng.randint(1, 14, size=(1, 2, 5),
+                                         dtype=np.int32))
+        mask = jnp.ones((1, 2), jnp.float32)
+        variables = model.init({"params": jax.random.PRNGKey(0),
+                                "dropout": jax.random.PRNGKey(1),
+                                "sampling": jax.random.PRNGKey(2)},
+                               images, boxes, mask, labels, train=True)
+        return model.apply(variables, images, boxes, mask, labels,
+                           train=True,
+                           rngs={"dropout": jax.random.PRNGKey(3),
+                                 "sampling": jax.random.PRNGKey(4)})
+
+    off = losses(False)
+    on = losses(True)
+    assert float(off["box_decay"]) == pytest.approx(
+        float(on["box_decay"]), rel=1e-6)
+    assert float(on["total"]) == pytest.approx(
+        float(off["total"]) + float(off["box_decay"]), rel=1e-5)
