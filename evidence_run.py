@@ -198,7 +198,7 @@ def run_rpn(args):
         anchor_kw["apply_box_decay"] = True
     cfg = get_densecap_config().replace(
         **anchor_kw,
-        data_h5="/nonexistent", from_checkpoint=False,
+        data_h5="/nonexistent", from_checkpoint=args.resume,
         batch_size=args.batch_size, max_regions=4,
         learning_rate=args.lr, compute_dtype="float32",
         # the 5-loss objective diverges NaN around iter ~500 at hot
@@ -295,6 +295,11 @@ def main(argv=None):
     ap.add_argument("--suffix", default="",
                     help="appended to the artifact tag (so experiment "
                          "variants land beside the baseline artifacts)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the run's checkpoint (.preempt "
+                         "preferred when newer) and APPEND to its "
+                         "histories — continue an interrupted evidence "
+                         "run instead of restarting it")
     ap.add_argument("--rpn-box-decay", action="store_true",
                     help="RPN runs: sum the 0.5*w*|trans|^2 decay into "
                          "the total (stability divergence; the reference "
